@@ -1,0 +1,216 @@
+"""The attention family: the core ops of SA-VQA.
+
+TPU-native equivalents of the reference's three attention classes
+(`/root/reference/models/modules.py:119-403`):
+
+* :class:`MultiHeadAttention`       — vanilla MHA used by decoder self-attention
+                                      (`modules.py:119-207`).
+* :class:`GraphGuidedAttention`     — softmax -> elementwise adjacency multiply ->
+                                      L1 renormalization; the paper's core op
+                                      (`modules.py:210-311`).
+* :class:`GraphMaskAttention`       — the sum+eps renorm variant used by the
+                                      x5/x6/x7 MIL ablations (`modules.py:314-403`).
+
+Reference numerics preserved exactly (parity-critical, see SURVEY.md section 7):
+
+* Q/K/V projections are Linear **followed by ReLU** (`modules.py:135-137`).
+* Head split is channel-chunking: head h owns channels [h*Dh, (h+1)*Dh)
+  (`modules.py:153-155`); we realize the same grouping via reshape.
+* Key/query masks are **content-derived**: ``sign(|sum(x, -1)|)`` over the
+  *unprojected* keys/queries (`modules.py:164,187`).
+* Masked logits are filled with ``-2**32 + 1`` (`modules.py:168`).
+* Graph renorm happens **after** softmax: L1 (``x / max(sum|x|, 1e-12)``,
+  matching ``F.normalize(p=1)``) or ``x / (sum(x) + 1e-7)`` per variant.
+
+Scores/softmax/renorm are computed in float32 regardless of the compute dtype;
+the two matmuls ride the MXU with ``preferred_element_type=float32``.
+
+A fused Pallas kernel implementing the same math for the hot (self-attention)
+case lives in `pallas_attention.py`; these composite versions are the
+reference/fallback and the default for irregular shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE, LayerNorm
+
+# F.normalize(p=1) clamps the norm at 1e-12 (`modules.py:285`).
+L1_NORM_EPS = 1e-12
+# The graph-mask variant renormalizes with +1e-7 on the sum (`modules.py:378`).
+SUM_NORM_EPS = 1e-7
+
+
+def content_mask(x: jax.Array) -> jax.Array:
+    """``sign(|sum(x, -1)|)`` — the reference's content-derived padding mask.
+
+    Rows that are exactly all-zero (padding) get 0, everything else 1.
+    Computed in float32: the sum must not flush to zero in bf16.
+    Mirrors `modules.py:164,187`.
+    """
+    return jnp.sign(jnp.abs(jnp.sum(x.astype(jnp.float32), axis=-1)))
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, T, C) -> (B, H, T, C/H) with head h owning channels [h*Dh,(h+1)*Dh)."""
+    b, t, c = x.shape
+    return x.reshape(b, t, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, Dh) -> (B, T, H*Dh), inverse of :func:`_split_heads`."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def attention_core(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array,
+    query_mask: jax.Array,
+    num_heads: int,
+    graph: Optional[jax.Array] = None,
+    renorm: Optional[str] = None,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared attention math for all three variants.
+
+    Args:
+      q/k/v: projected inputs, (B, Tq/Tk/Tk, C).
+      key_mask: (B, Tk) 0/1 content mask of the *unprojected* keys.
+      query_mask: (B, Tq) 0/1 content mask of the *unprojected* queries.
+      graph: optional (B, Tq, Tk) per-sample adjacency/stage mask, broadcast
+        over heads (`modules.py:281-284`).
+      renorm: None | 'l1' | 'sum_eps' — the post-graph renormalization.
+      causal: apply a lower-triangular future mask (`modules.py:173-181`).
+
+    Returns:
+      (output (B, Tq, C), att_weights (B, H, Tq, Tk)). ``att_weights`` is the
+      post-renorm, pre-query-mask tensor the reference exposes via
+      ``return_att`` (`modules.py:286,309`).
+    """
+    b, tq, c = q.shape
+    tk = k.shape[1]
+    dh = c // num_heads
+
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    scores = scores / (dh ** 0.5)
+
+    km = key_mask.astype(jnp.float32)[:, None, None, :]  # (B,1,1,Tk)
+    scores = jnp.where(km == 0.0, NEG_MASK_VALUE, scores)
+
+    if causal:
+        tril = jnp.tril(jnp.ones((tq, tk), dtype=jnp.float32))
+        scores = jnp.where(tril[None, None] == 0.0, NEG_MASK_VALUE, scores)
+
+    att = jax.nn.softmax(scores, axis=-1)
+
+    if graph is not None:
+        att = att * graph.astype(jnp.float32)[:, None, :, :]
+    if renorm == "l1":
+        norm = jnp.sum(jnp.abs(att), axis=-1, keepdims=True)
+        att = att / jnp.maximum(norm, L1_NORM_EPS)
+    elif renorm == "sum_eps":
+        att = att / (jnp.sum(att, axis=-1, keepdims=True) + SUM_NORM_EPS)
+    elif renorm is not None:
+        raise ValueError(f"unknown renorm mode: {renorm!r}")
+
+    att_weights = att
+
+    att = att * query_mask.astype(jnp.float32)[:, None, :, None]
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, att.shape)
+        att = jnp.where(keep, att / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", att.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+    )
+    return _merge_heads(out).astype(q.dtype), att_weights
+
+
+class _AttentionBase(nn.Module):
+    """Shared parameter layout: ReLU'd Q/K/V Dense projections + post-LN."""
+
+    num_units: int
+    num_heads: int = 8
+    dropout_rate: float = 0.0
+    causality: bool = False
+    return_att: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _project(self, queries, keys, values):
+        q = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="q_proj")(queries))
+        k = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="k_proj")(keys))
+        v = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="v_proj")(values))
+        return q, k, v
+
+    def _finish(self, out, queries):
+        out = out + queries
+        return LayerNorm(self.num_units, name="ln")(out)
+
+    def _run(self, queries, keys, values, graph, renorm, deterministic):
+        q, k, v = self._project(queries, keys, values)
+        rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out, att = attention_core(
+            q,
+            k,
+            v,
+            key_mask=content_mask(keys),
+            query_mask=content_mask(queries),
+            num_heads=self.num_heads,
+            graph=graph,
+            renorm=renorm,
+            causal=self.causality,
+            dropout_rate=self.dropout_rate,
+            dropout_rng=rng,
+            deterministic=deterministic,
+        )
+        out = self._finish(out, queries)
+        if self.return_att:
+            return out, att
+        return out
+
+
+class MultiHeadAttention(_AttentionBase):
+    """Vanilla MHA (`modules.py:119-207`) — decoder self-attention path."""
+
+    @nn.compact
+    def __call__(self, queries, keys, values, deterministic: bool = True):
+        return self._run(queries, keys, values, graph=None, renorm=None, deterministic=deterministic)
+
+
+class GraphGuidedAttention(_AttentionBase):
+    """Graph-guided MHA: softmax -> x graph -> L1 renorm (`modules.py:210-311`)."""
+
+    @nn.compact
+    def __call__(self, queries, keys, values, graph, deterministic: bool = True):
+        return self._run(queries, keys, values, graph=graph, renorm="l1", deterministic=deterministic)
+
+
+class GraphMaskAttention(_AttentionBase):
+    """Graph-mask MHA: softmax -> x graph -> sum+1e-7 renorm (`modules.py:314-403`).
+
+    The reference signature takes a ``key_mask_ipt`` argument that its body
+    never reads (the key mask is always content-derived, `modules.py:354`);
+    we drop the dead argument.
+    """
+
+    @nn.compact
+    def __call__(self, queries, keys, values, graph, deterministic: bool = True):
+        return self._run(queries, keys, values, graph=graph, renorm="sum_eps", deterministic=deterministic)

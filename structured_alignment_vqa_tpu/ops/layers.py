@@ -1,0 +1,138 @@
+"""Core non-attention primitives.
+
+TPU-native re-implementations of the reference primitive layer
+(`/root/reference/models/modules.py`). Numerics quirks of the reference that
+downstream parity depends on are preserved deliberately and called out inline:
+
+* LayerNorm adds epsilon to the *standard deviation* (not the variance) and the
+  std is the unbiased (N-1) estimator — `modules.py:62-65`.
+* The feed-forward block is Linear(d->4d)+ReLU -> Linear(4d->d) with residual
+  and post-LayerNorm — `modules.py:428-446`.
+* Embedding optionally zeroes row 0 and scales by sqrt(d) — `modules.py:13-46`.
+* Label smoothing is `(1-eps)*y + eps/K` with eps=0.1 — `modules.py:450-463`.
+
+All functions are pure; flax modules only own parameters and delegate to the
+functional cores so the Pallas kernel tier can reuse the exact same math.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# Mask fill value used across the reference attention family
+# (`modules.py:168,261,357`): float(-2**32 + 1).
+NEG_MASK_VALUE = float(-(2**32) + 1)
+
+
+def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array, epsilon: float = 1e-8) -> jax.Array:
+    """LayerNorm with the reference's epsilon-on-std quirk.
+
+    ``gamma * (x - mean) / (std + eps) + beta`` where ``std`` is the *unbiased*
+    standard deviation over the last axis (torch ``x.std(-1)`` divides by N-1).
+    Mirrors `modules.py:62-65`.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum(jnp.square(x32 - mean), axis=-1, keepdims=True) / max(n - 1, 1)
+    std = jnp.sqrt(var)
+    out = gamma * (x32 - mean) / (std + epsilon) + beta
+    return out.astype(x.dtype)
+
+
+def label_smoothing(one_hot: jax.Array, epsilon: float = 0.1) -> jax.Array:
+    """`(1 - eps) * y + eps / K` over the last axis (`modules.py:461-463`)."""
+    k = one_hot.shape[-1]
+    return (1.0 - epsilon) * one_hot + epsilon / k
+
+
+def sinusoidal_position_encoding(
+    batch: int, length: int, num_units: int, zeros_pad: bool = True, scale: bool = True
+) -> jax.Array:
+    """Sinusoidal PE table lookup for positions [0, length).
+
+    Mirrors `modules.py:83-116`: ``pos / 10000**(2i/d)`` with sin on even and
+    cos on odd columns, optional zeroed row 0, optional sqrt(d) scaling. The
+    production model uses learned PEs instead; this exists for the `--sinusoid`
+    flag and the ablation variants.
+    """
+    pos = np.arange(length)[:, None].astype(np.float64)
+    i = np.arange(num_units)[None, :].astype(np.float64)
+    angle = pos / np.power(10000.0, 2.0 * i / num_units)
+    table = np.where(np.arange(num_units)[None, :] % 2 == 0, np.sin(angle), np.cos(angle))
+    if zeros_pad:
+        table[0, :] = 0.0
+    table = jnp.asarray(table, dtype=jnp.float32)
+    if scale:
+        table = table * (num_units ** 0.5)
+    return jnp.broadcast_to(table[None], (batch, length, num_units))
+
+
+class LayerNorm(nn.Module):
+    """Parameterized wrapper over :func:`layer_norm` (gamma init 1, beta init 0)."""
+
+    features: int
+    epsilon: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
+        return layer_norm(x, gamma, beta, self.epsilon)
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN with residual + post-LN (`modules.py:405-447`).
+
+    ``Linear(in, units[0]) + ReLU -> Linear(units[0], units[1])`` then residual
+    add and LayerNorm. ``units`` defaults to ``[4*d, d]`` at call sites.
+    """
+
+    in_features: int
+    hidden_units: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.hidden_units[0], dtype=self.dtype, name="fc1")(x)
+        h = jax.nn.relu(h)
+        h = nn.Dense(self.hidden_units[1], dtype=self.dtype, name="fc2")(h)
+        h = h + x
+        return LayerNorm(self.in_features, name="ln")(h)
+
+
+class Embedding(nn.Module):
+    """Learned lookup table with optional zeroed row 0 and sqrt(d) scale.
+
+    Mirrors `modules.py:13-46` (xavier-normal init; the zero row is enforced on
+    every lookup rather than only at init so optimizer updates cannot
+    resurrect it, matching torch's `padding_idx=0` no-grad semantics closely
+    enough for training parity).
+    """
+
+    vocab_size: int
+    num_units: int
+    zeros_pad: bool = True
+    scale: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "lookup_table",
+            nn.initializers.xavier_normal(),
+            (self.vocab_size, self.num_units),
+            jnp.float32,
+        )
+        if self.zeros_pad:
+            table = table.at[0].set(0.0)
+        out = jnp.take(table, ids, axis=0).astype(self.dtype)
+        if self.scale:
+            out = out * math.sqrt(self.num_units)
+        return out
