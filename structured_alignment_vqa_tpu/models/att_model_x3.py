@@ -1,0 +1,467 @@
+"""AttModelX3 — the flagship SA-VQA model, TPU-native.
+
+Functional re-design of `/root/reference/models/AttModel_x3.py` (543 LoC):
+
+* `VisualEncoder`   <- `AttModel_vis_grid` (`AttModel_x3.py:20-156`)
+* `SymbolicEncoder` <- `AttModel_syb` (`AttModel_x3.py:158-282`)
+* `MILNCEModule`    <- `MIL_NCE` (`AttModel_x3.py:285-443`)
+* `AttModelX3`      <- `AttModel` (`AttModel_x3.py:471-542`)
+
+Design departures (behavior-preserving, see SURVEY.md section 7):
+
+* The reference builds per-sample block-diagonal masks and staged graphs with a
+  Python loop over the batch (`AttModel_x3.py:110-122,236-247`);
+  :func:`build_stage_graphs` does it with static-slice tensor writes, traced
+  once under jit.
+* The MIL relation branch materializes a (B, num_relations, O, O) bilinear
+  tensor and then gathers a handful of entries, plus a Python loop over
+  positive relations with sequential accumulation (`AttModel_x3.py:389-436`).
+  We compute *only* the gathered bilinear entries (O(K·h^2) instead of
+  O(R·O^2·h^2) FLOPs) and replace the loop with an order-independent
+  scatter-add — additions commute, so the result is identical.
+* The in-place aliasing of `graph_cross` by `graph` (`AttModel_x3.py:120-122`)
+  is replicated by default (`ModelConfig.distinct_cross_stage=False`).
+
+Parameters the reference defines but never uses in forward (`v_mlp`,
+`input_proj`, `q_mlp`, `v_positional_encoding` — `AttModel_x3.py:46-54,65-67`)
+are omitted; they contribute nothing to any output.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from structured_alignment_vqa_tpu.data.batch import VQABatch
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+from structured_alignment_vqa_tpu.ops.attention import (
+    GraphGuidedAttention,
+    MultiHeadAttention,
+)
+from structured_alignment_vqa_tpu.ops.layers import Embedding, FeedForward
+from structured_alignment_vqa_tpu.ops.mcb import compact_bilinear_pooling, count_sketch_matrix
+from structured_alignment_vqa_tpu.ops.mil_nce import (
+    compact_softmax_gather,
+    mil_nce_obj_objective,
+    mil_nce_rel_objective,
+)
+
+BOS_ID = 2  # decoder input token (`AttModel_x3.py:141,267`)
+
+
+def build_stage_graphs(
+    modality_mask: jax.Array,
+    q_mask: jax.Array,
+    q_graph: jax.Array,
+    modality_graph: Optional[jax.Array],
+    use_dec_mask: bool,
+    distinct_cross_stage: bool = False,
+):
+    """Vectorized staged-graph construction (`AttModel_x3.py:103-122,229-247`).
+
+    Args:
+      modality_mask: (B, Lm, Lm) validity square of the modality tokens.
+      q_mask/q_graph: (B, Lq, Lq) question validity square / adjacency.
+      modality_graph: (B, Lm, Lm) adjacency for the final stage's modality
+        block — None means fully-connected (the visual branch).
+
+    Returns:
+      (graph_diag, graph_cross, graph, dec_mask) — all float32; dec_mask is
+      (B, 1, Lm+Lq).
+    """
+    b, lm, _ = modality_mask.shape
+    lq = q_mask.shape[1]
+    size = lm + lq
+    f32 = jnp.float32
+
+    mask = jnp.zeros((b, size, size), f32)
+    mask = mask.at[:, :lm, :lm].set(modality_mask.astype(f32))
+    mask = mask.at[:, lm:, lm:].set(q_mask.astype(f32))
+
+    # Stage 1: intra-modality graph — the reference only writes the question
+    # block (`AttModel_x3.py:112`), leaving the modality block all-zero.
+    graph_diag = jnp.zeros((b, size, size), f32).at[:, lm:, lm:].set(q_mask.astype(f32))
+
+    # Stage 3 graph, built by mutating `1 - mask` in place.
+    graph = 1.0 - mask
+    if modality_graph is None:
+        graph = graph.at[:, :lm, :lm].set(1.0)
+    else:
+        graph = graph.at[:, :lm, :lm].set(modality_graph.astype(f32))
+    graph = graph.at[:, lm:, lm:].set(q_graph.astype(f32))
+
+    # Stage 2: the reference's `graph_cross` aliases `graph` after the in-place
+    # writes above, so by default they are the same tensor.
+    graph_cross = (1.0 - mask) if distinct_cross_stage else graph
+
+    if use_dec_mask:
+        dec_mask = (jnp.sum(mask, axis=2) > 0).astype(f32)[:, None, :]
+    else:
+        dec_mask = jnp.zeros((b, 1, size), f32)
+    return graph_diag, graph_cross, graph, dec_mask
+
+
+class GloVeEmbed(nn.Module):
+    """Trainable GloVe-initialized lookup (no zero row, no scaling).
+
+    Mirrors ``nn.Embedding.from_pretrained(new_glove_voc, freeze=False)``
+    (`AttModel_x3.py:41,171,314`). The actual GloVe vectors are grafted into
+    the parameter post-init by `train/loop.py` (see `models/glove.py`).
+    """
+
+    vocab_size: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        table = self.param(
+            "table", nn.initializers.xavier_normal(), (self.vocab_size, self.dim), jnp.float32
+        )
+        return jnp.take(table, ids, axis=0).astype(self.dtype)
+
+
+class _EncoderDecoder(nn.Module):
+    """Shared dual-branch encoder/decoder body.
+
+    Three attention stages over (modality ++ question) tokens, then a 1-token
+    decoder that cross-attends into the encoded sequence
+    (`AttModel_x3.py:124-156,248-282`).
+    """
+
+    cfg: ModelConfig
+    pe_table_size: int
+    pe_dropout: bool  # the visual branch drops out its PE, the symbolic doesn't
+    name_prefix: str = ""
+
+    @nn.compact
+    def __call__(
+        self,
+        modality_fea: jax.Array,      # (B, Lm, 2048)
+        modality_mask: jax.Array,     # (B, Lm, Lm)
+        modality_graph: Optional[jax.Array],  # (B, Lm, Lm) or None (visual)
+        q_ids: jax.Array,             # (B, Lq)
+        q_graph: jax.Array,           # (B, Lq, Lq)
+        q_mask: jax.Array,            # (B, Lq, Lq)
+        glove: nn.Module,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        b, lm = modality_fea.shape[:2]
+        dt = cfg.compute_dtype
+
+        # Question path: GloVe embed -> Linear(300, 2048) + ReLU
+        # (`AttModel_x3.py:96-97,216-217`).
+        q_fea = glove(q_ids)
+        q_fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(q_fea))
+
+        fea = jnp.concatenate([modality_fea.astype(dt), q_fea], axis=1)
+        fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
+
+        size = fea.shape[1]
+        pos_ids = jnp.broadcast_to(jnp.arange(size)[None, :], (b, size))
+        pe = Embedding(
+            self.pe_table_size, cfg.hidden_size, zeros_pad=False, scale=False,
+            dtype=dt, name="syb_positional_encoding",
+        )(pos_ids)
+        if self.pe_dropout:
+            pe = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(pe)
+        fea = fea + pe
+        fea = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(fea)
+
+        graph_diag, graph_cross, graph, dec_mask = build_stage_graphs(
+            modality_mask, q_mask, q_graph, modality_graph,
+            use_dec_mask=cfg.use_dec_mask,
+            distinct_cross_stage=cfg.distinct_cross_stage,
+        )
+
+        def make_block(i):
+            att = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}",
+            )
+            ffn = FeedForward(
+                cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                dtype=dt, name=f"enc_feed_forward_{i}",
+            )
+            return att, ffn
+
+        for i in range(cfg.num_blocks):
+            if i < cfg.stage1_blocks:
+                g = graph_diag
+            elif i < cfg.stage2_blocks:
+                g = graph_cross
+            else:
+                g = graph
+            att, ffn = make_block(i)
+            fea = att(fea, fea, fea, g, deterministic=deterministic)
+            fea = ffn(fea)
+
+        # 1-token decoder, BOS id 2 (`AttModel_x3.py:141-156`).
+        dec_ids = jnp.full((b, 1), BOS_ID, jnp.int32)
+        dec = Embedding(
+            cfg.num_classes, cfg.hidden_size, zeros_pad=True, scale=True,
+            dtype=dt, name="dec_emb",
+        )(dec_ids)
+        dec = dec + Embedding(
+            self.pe_table_size, cfg.hidden_size, zeros_pad=False, scale=False,
+            dtype=dt, name="dec_positional_encoding",
+        )(jnp.zeros((b, 1), jnp.int32))
+        dec = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(dec)
+
+        for i in range(cfg.num_blocks):
+            dec = MultiHeadAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                dropout_rate=0.0, causality=True, dtype=dt,
+                name=f"dec_self_attention_{i}",
+            )(dec, dec, dec, deterministic=deterministic)
+            dec = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                dropout_rate=0.0, dtype=dt, name=f"dec_vanilla_attention_{i}",
+            )(dec, fea, fea, dec_mask, deterministic=deterministic)
+            dec = FeedForward(
+                cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                dtype=dt, name=f"dec_feed_forward_{i}",
+            )(dec)
+        return dec  # (B, 1, hidden)
+
+
+class VisualEncoder(nn.Module):
+    """Visual branch: region features ++ question nodes (`AttModel_x3.py:20-156`)."""
+
+    cfg: ModelConfig
+    glove: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask, q_ids, q_graph, q_mask, deterministic=True):
+        glove = self.glove or GloVeEmbed(
+            self.cfg.vocab_size, self.cfg.glove_dim,
+            dtype=self.cfg.compute_dtype, name="syb_emb",
+        )
+        return _EncoderDecoder(
+            self.cfg, pe_table_size=self.cfg.maxlen, pe_dropout=True, name="body",
+        )(vis_fea, vis_mask, None, q_ids, q_graph, q_mask, glove, deterministic)
+
+
+class SymbolicEncoder(nn.Module):
+    """Symbolic branch: MIL-rewritten macro nodes ++ question (`AttModel_x3.py:158-282`)."""
+
+    cfg: ModelConfig
+    glove: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, deterministic=True):
+        glove = self.glove or GloVeEmbed(
+            self.cfg.vocab_size, self.cfg.glove_dim,
+            dtype=self.cfg.compute_dtype, name="syb_emb",
+        )
+        return _EncoderDecoder(
+            self.cfg, pe_table_size=self.cfg.maxlen + self.cfg.maxlen_q,
+            pe_dropout=False, name="body",
+        )(syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, glove, deterministic)
+
+
+class MILNCEModule(nn.Module):
+    """Structured alignment: MIL-NCE grounding + super-node rewrite
+    (`AttModel_x3.py:285-443`)."""
+
+    cfg: ModelConfig
+    glove: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        vis_fea: jax.Array,          # (B, O, 2048)
+        macro_ipt: jax.Array,        # (B, Ls)
+        macro_obj_loc: jax.Array,    # (B, O)
+        micro_pos_obj: jax.Array,    # (B, O, topN)
+        micro_neg_obj: jax.Array,    # (B, O, topN)
+        micro_obj_mask: jax.Array,   # (B, O, topN)
+        micro_pos_rel: jax.Array,    # (B, R)
+        micro_neg_rel: jax.Array,    # (B, R)
+        micro_pos_rel_loc: jax.Array,  # (B, R, 5)
+        micro_neg_rel_loc: jax.Array,  # (B, R, 5)
+    ):
+        cfg = self.cfg
+        h = cfg.hidden_size_mil
+        dt = cfg.compute_dtype
+        b, ls = macro_ipt.shape
+        o = vis_fea.shape[1]
+
+        glove = self.glove or GloVeEmbed(
+            cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb"
+        )
+
+        marco_mlp = nn.Dense(h, dtype=dt, name="marco_mlp")
+        syb_mlp = nn.Dense(h, dtype=dt, name="syb_mlp")
+        vis_mlp = nn.Dense(h, dtype=dt, name="vis_mlp")
+
+        # Macro node embeddings, detached (`AttModel_x3.py:352-354`).
+        macro_fea = jax.nn.relu(marco_mlp(glove(macro_ipt)))
+        new_macro = jax.lax.stop_gradient(macro_fea)
+
+        pos_fea = jax.nn.relu(syb_mlp(glove(micro_pos_obj)))   # (B, O, topN, h)
+        neg_fea = jax.nn.relu(syb_mlp(glove(micro_neg_obj)))
+        vis_emb = jax.nn.relu(vis_mlp(vis_fea.astype(dt)))     # (B, O, h)
+
+        # Candidate-vs-region dot scores (`AttModel_x3.py:365-366`).
+        pos_scores = jnp.einsum(
+            "both,boh->bot", pos_fea, vis_emb, preferred_element_type=jnp.float32
+        )
+        neg_scores = jnp.einsum(
+            "both,boh->bot", neg_fea, vis_emb, preferred_element_type=jnp.float32
+        )
+        obj_mask = micro_obj_mask.astype(jnp.float32)
+        mil_obj = mil_nce_obj_objective(pos_scores * obj_mask, neg_scores * obj_mask)
+
+        # Super-node rewrite: softmax over *unmasked* scores (`AttModel_x3.py:372-374`).
+        w = jax.nn.softmax(pos_scores, axis=2).astype(pos_fea.dtype)
+        new_obj_fea = jnp.sum(w[..., None] * pos_fea, axis=2)  # (B, O, h)
+
+        batch_idx = jnp.arange(b)[:, None]
+        safe_loc = jnp.where(macro_obj_loc >= 0, macro_obj_loc, ls)  # ls -> dropped
+        new_macro = new_macro.at[batch_idx, safe_loc].set(
+            new_obj_fea.astype(new_macro.dtype), mode="drop"
+        )
+
+        if cfg.only_obj:
+            mil_rel = jnp.float32(0.0)
+        else:
+            new_macro, mil_rel = self._relation_branch(
+                glove, syb_mlp, new_macro, new_obj_fea,
+                micro_pos_rel, micro_pos_rel_loc, micro_neg_rel_loc,
+            )
+
+        out = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="ipt_mlp")(new_macro))
+        return out, mil_obj, mil_rel
+
+    def _relation_branch(
+        self, glove, syb_mlp, new_macro, new_obj_fea,
+        micro_pos_rel, micro_pos_rel_loc, micro_neg_rel_loc,
+    ):
+        """Relation MIL-NCE + super-node relation rewrite (`AttModel_x3.py:382-439`).
+
+        The reference computes the full (B, num_relations, O, O) bilinear
+        tensor x_i^T R_r x_j and gathers a few entries; we gather first and
+        contract per entry — identical values, a tiny fraction of the FLOPs.
+        """
+        cfg = self.cfg
+        h = cfg.hidden_size_mil
+        b, k = micro_pos_rel.shape
+        ls = new_macro.shape[1]
+
+        R = self.param(
+            "R", nn.initializers.xavier_normal(), (cfg.num_relations, h, h), jnp.float32
+        )
+
+        rel_fea = jax.nn.relu(syb_mlp(glove(micro_pos_rel)))  # (B, K, h)
+
+        n_obj = new_obj_fea.shape[1]
+
+        def gathered_bilinear(loc):
+            # loc: (B, K, 5) = [obj_i, obj_j, rel_cat, macro_loc, micro_loc]
+            obj_i = jnp.clip(loc[..., 0], 0, n_obj - 1)
+            obj_j = jnp.clip(loc[..., 1], 0, n_obj - 1)
+            cat = jnp.clip(loc[..., 2], 0, cfg.num_relations - 1)
+            bi = jnp.arange(b)[:, None]
+            xi = new_obj_fea[bi, obj_i].astype(jnp.float32)   # (B, K, h)
+            xj = new_obj_fea[bi, obj_j].astype(jnp.float32)   # (B, K, h)
+            Rk = R[cat]                                        # (B, K, h, h)
+            return jnp.einsum("bkh,bkhg,bkg->bk", xi, Rk, xj)
+
+        pos_valid = micro_pos_rel_loc[..., 3] >= 0
+        neg_valid = micro_neg_rel_loc[..., 3] >= 0
+        pos_scores = gathered_bilinear(micro_pos_rel_loc)
+        neg_scores = gathered_bilinear(micro_neg_rel_loc)
+
+        mil_rel = mil_nce_rel_objective(
+            pos_scores.reshape(-1), pos_valid.reshape(-1),
+            neg_scores.reshape(-1), neg_valid.reshape(-1),
+        )
+
+        # Zero every positive-relation macro row, then scatter-add the
+        # softmax-weighted relation embeddings (`AttModel_x3.py:417-436`).
+        macro_loc = micro_pos_rel_loc[..., 3]
+        micro_loc = micro_pos_rel_loc[..., 4]
+        safe_loc = jnp.where(pos_valid, macro_loc, ls)
+        bi = jnp.arange(b)[:, None]
+
+        row_zero = jnp.zeros((b, ls), new_macro.dtype).at[bi, safe_loc].set(1.0, mode="drop")
+        new_macro = new_macro * (1.0 - row_zero[..., None])
+
+        weights = compact_softmax_gather(
+            pos_scores.reshape(-1), pos_valid.reshape(-1),
+            jnp.where(pos_valid, micro_loc, -1).reshape(-1),
+        ).reshape(b, k)
+        contrib = weights[..., None].astype(new_macro.dtype) * rel_fea[bi, jnp.clip(micro_loc, 0, k - 1)]
+        contrib = jnp.where(pos_valid[..., None], contrib, 0.0)
+        new_macro = new_macro.at[bi, safe_loc].add(contrib, mode="drop")
+        return new_macro, mil_rel
+
+
+class AttModelX3(nn.Module):
+    """Top-level SA-VQA model (`AttModel_x3.py:471-542`).
+
+    Returns ``(logits_concat, logits_vis, logits_syb, mil_nce_obj, mil_nce_rel)``.
+    """
+
+    cfg: ModelConfig
+    # Seed for the frozen MCB count-sketch matrices (the reference draws them
+    # from the torch global RNG at module init, `AttModel_x3.py:454-459`).
+    mcb_sketch_seed: int = 12345
+
+    def _head(self, prefix: str, x, deterministic):
+        """Linear -> ReLU -> Dropout -> Linear classifier (`AttModel_x3.py:482-508`)."""
+        cfg = self.cfg
+        x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype, name=f"{prefix}_hidden")(x))
+        x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
+        return nn.Dense(cfg.num_classes, dtype=cfg.compute_dtype, name=f"{prefix}_out")(x)
+
+    @nn.compact
+    def __call__(self, batch: VQABatch, deterministic: bool = True):
+        cfg = self.cfg
+        cfg.validate()
+        shared = (
+            GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=cfg.compute_dtype, name="glove")
+            if cfg.share_glove else None
+        )
+        new_macro, mil_obj, mil_rel = MILNCEModule(cfg, glove=shared, name="mil_nce")(
+            batch.vis_fea, batch.macro_ipt, batch.macro_obj_loc,
+            batch.micro_pos_obj, batch.micro_neg_obj, batch.micro_obj_mask,
+            batch.micro_pos_rel, batch.micro_neg_rel,
+            batch.micro_pos_rel_loc, batch.micro_neg_rel_loc,
+        )
+        fea_vis = VisualEncoder(cfg, glove=shared, name="att_vis_grid")(
+            batch.vis_fea, batch.vis_mask, batch.q_ipt, batch.q_graph, batch.q_mask,
+            deterministic=deterministic,
+        )
+        fea_syb = SymbolicEncoder(cfg, glove=shared, name="att_syb")(
+            new_macro, batch.macro_mask, batch.macro_graph,
+            batch.q_ipt, batch.q_graph, batch.q_mask,
+            deterministic=deterministic,
+        )
+        logits_vis = self._head("cls_vis", fea_vis, deterministic)[:, 0]
+        logits_syb = self._head("cls_syb", fea_syb, deterministic)[:, 0]
+
+        if cfg.use_mcb:
+            sketch_rng = np.random.default_rng(self.mcb_sketch_seed)
+            s1 = self.variable(
+                "constants", "sketch1",
+                lambda: jnp.asarray(count_sketch_matrix(sketch_rng, cfg.hidden_size, cfg.mcb_out)),
+            ).value
+            s2 = self.variable(
+                "constants", "sketch2",
+                lambda: jnp.asarray(count_sketch_matrix(sketch_rng, cfg.hidden_size, cfg.mcb_out)),
+            ).value
+            fused = compact_bilinear_pooling(fea_syb, fea_vis, s1, s2, cfg.mcb_out)
+            fused = nn.Dropout(cfg.dropout_rate_mcb, deterministic=deterministic)(fused)
+            logits_concat = self._head("cls_mcb", fused, deterministic)[:, 0]
+        else:
+            fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+            logits_concat = self._head("cls", fused, deterministic)
+
+        return logits_concat, logits_vis, logits_syb, mil_obj, mil_rel
