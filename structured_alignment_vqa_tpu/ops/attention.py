@@ -52,6 +52,13 @@ def content_mask(x: jax.Array) -> jax.Array:
     Rows that are exactly all-zero (padding) get 0, everything else 1.
     Computed in float32: the sum must not flush to zero in bf16.
     Mirrors `modules.py:164,187`.
+
+    Caveat (inherited from the reference): a *real* row can be masked when its
+    feature sum cancels to exactly 0.0 — post-LayerNorm rows at fresh init
+    (gamma=1, beta=0) do this routinely because the mean's division by a
+    power-of-two feature count is exact in fp32. Trained parameters move off
+    that knife edge; tests that compare across compiled shapes perturb
+    LayerNorm params first (see tests/test_train_step.py::perturb_params).
     """
     return jnp.sign(jnp.abs(jnp.sum(x.astype(jnp.float32), axis=-1)))
 

@@ -1,0 +1,45 @@
+"""Device mesh construction.
+
+The mesh has two logical axes:
+
+* ``data``  — batch sharding (the reference's only parallelism: DDP over NCCL,
+              `main_itp_ddp_tar_super_node.py:202-203`);
+* ``model`` — tensor sharding of the large embedding tables / FFN kernels.
+              The reference has no TP (SURVEY.md section 2.5); the axis exists so
+              scaling beyond pure DP is a mesh reshape, not a rewrite.
+
+Within one slice both axes ride ICI; across slices the data axis maps to DCN
+(the standard "DP outer, TP inner" layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A (data, model) mesh over the first ``n_devices`` devices.
+
+    ``model_parallel=1`` degenerates to pure data parallelism (the reference's
+    regime). The model axis is innermost so tensor-parallel collectives ride
+    the fastest ICI links.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

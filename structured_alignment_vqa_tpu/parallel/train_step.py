@@ -1,0 +1,172 @@
+"""Sharded train/eval steps.
+
+One jitted function covers what the reference splits across DDP hooks, the
+hand-written batch loop, and explicit collective calls
+(`main_itp_ddp_tar_super_node.py:268-366,383-404`):
+
+  forward -> ensemble smoothed-CE (+ MIL-NCE) -> grads -> Adam update
+
+Gradient reduction over the data axis is *implicit*: parameters are replicated,
+the batch is sharded, so GSPMD inserts the psum where DDP would run its NCCL
+allreduce. Eval metrics come back as global sums (the psum replaces the
+reference's ``dist.all_gather`` of [loss, n_correct, n] triples).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from structured_alignment_vqa_tpu.data.batch import VQABatch
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+from structured_alignment_vqa_tpu.parallel.sharding import (
+    batch_sharding,
+    param_sharding_rules,
+)
+from structured_alignment_vqa_tpu.train.losses import (
+    batch_metrics,
+    ensemble_smoothed_ce,
+    mil_nce_loss,
+)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    constants: Any = struct.field(default_factory=dict)  # frozen MCB sketches etc.
+
+
+def create_train_state(model, rng, sample_batch: VQABatch, tx: optax.GradientTransformation) -> TrainState:
+    variables = model.init(rng, sample_batch)
+    params = variables["params"]
+    constants = dict(variables.get("constants", {}))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        constants=constants,
+    )
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Lay the state out on the mesh.
+
+    Params follow the sharding rules; optimizer-state subtrees that mirror the
+    param tree (Adam's mu/nu) follow the same rules so a sharded table's
+    moments live next to it; everything else (step counters) is replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rules = param_sharding_rules(state.params, mesh)
+    rep = NamedSharding(mesh, P())
+
+    def put(node):
+        if _same_structure(node, state.params):
+            return jax.device_put(node, rules)
+        if isinstance(node, tuple):  # optax chains / namedtuple states
+            vals = [put(c) for c in node]
+            if hasattr(node, "_fields"):  # namedtuple
+                return type(node)(*vals)
+            return tuple(vals)
+        return jax.device_put(node, rep)
+
+    return TrainState(
+        step=jax.device_put(state.step, rep),
+        params=jax.device_put(state.params, rules),
+        opt_state=put(state.opt_state),
+        constants=jax.device_put(state.constants, rep),
+    )
+
+
+def _same_structure(a, b) -> bool:
+    return jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: ModelConfig,
+    with_milnce: bool = True,
+    smooth_eps: float = 0.1,
+) -> Callable:
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
+
+    def step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.constants:
+                variables["constants"] = state.constants
+            lc, lv, ls_, mil_obj, mil_rel = model.apply(
+                variables, batch, deterministic=False, rngs={"dropout": dropout_rng}
+            )
+            ce, log_sm = ensemble_smoothed_ce(
+                lc, lv, ls_, batch.answer, batch.sample_valid, smooth_eps
+            )
+            mil = mil_nce_loss(mil_obj, mil_rel, cfg.only_obj)
+            loss = ce + (mil if with_milnce else 0.0)
+            n_correct, n = batch_metrics(log_sm, batch.answer, batch.sample_valid)
+            return loss, {
+                "loss": loss,
+                "ce": ce,
+                "mil_nce_loss": mil,
+                "n_correct": n_correct,
+                "n": n,
+            }
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: ModelConfig, with_milnce: bool = True, smooth_eps: float = 0.1) -> Callable:
+    """Jitted ``eval(state, batch) -> metric sums`` (global over the mesh).
+
+    Mirrors the reference eval loop semantics (`main:42-142`): ensemble
+    smoothed CE (+ MIL loss when enabled), correctness counted over in-vocab
+    answers only. Returns *sums* so the host can aggregate streams, replacing
+    the reference's all_gather of per-rank meters.
+    """
+
+    def eval_fn(state: TrainState, batch: VQABatch):
+        variables = {"params": state.params}
+        if state.constants:
+            variables["constants"] = state.constants
+        lc, lv, ls_, mil_obj, mil_rel = model.apply(variables, batch, deterministic=True)
+        ce, log_sm = ensemble_smoothed_ce(
+            lc, lv, ls_, batch.answer, batch.sample_valid, smooth_eps
+        )
+        mil = mil_nce_loss(mil_obj, mil_rel, cfg.only_obj)
+        loss = ce + (mil if with_milnce else 0.0)
+        n_correct, n = batch_metrics(log_sm, batch.answer, batch.sample_valid)
+        return {
+            "loss_sum": loss * n,
+            "mil_sum": mil * n,
+            "n_correct": n_correct,
+            "n": n,
+        }
+
+    return jax.jit(eval_fn)
+
+
+def put_batch(batch: VQABatch, mesh) -> VQABatch:
+    """Device-put a batch with its leading dim sharded over the data axis."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def adam(lr: float = 1e-4) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (`main:206`): betas (0.9, 0.999), eps 1e-8."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
