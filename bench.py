@@ -1,0 +1,87 @@
+"""Benchmark: SA-VQA inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "inference_pairs_per_sec", "value": N, "unit": "pairs/s/chip",
+   "vs_baseline": N / 5000}
+
+The baseline denominator is the BASELINE.json north-star (>=5,000
+question-image pairs/sec/chip on v5e); the reference repo itself publishes no
+numbers (BASELINE.md), so this is the target the build is judged against.
+
+Production-shaped workload: AttModelX3, hidden 512, 6 blocks, 8 heads,
+bf16 compute, 36 visual regions, 30 question nodes, 128 macro nodes — the
+GQA-typical operating point of the reference's obj-only config
+(`submit.py:76-104`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from structured_alignment_vqa_tpu.data.synthetic import synthetic_batch
+from structured_alignment_vqa_tpu.models import AttModelX3
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+
+BASELINE_PAIRS_PER_SEC = 5000.0
+
+
+def main() -> None:
+    cfg = ModelConfig(
+        num_classes=1843,
+        num_relations=310,
+        only_obj=True,
+        compute_dtype=jnp.bfloat16,
+        share_glove=True,
+        dropout_rate=0.5,  # inactive at inference
+    )
+    model = AttModelX3(cfg)
+
+    batch_size = 128
+    batch = synthetic_batch(cfg, batch=batch_size, lv=36, lq=30, ls=128, seed=0)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+
+    @jax.jit
+    def predict_chained(variables, batch, acc):
+        """Serving-style step: ensemble log-softmax -> argmax answer ids.
+
+        ``acc`` chains successive calls into a data dependency so iterations
+        cannot overlap or be elided — `block_until_ready` alone is not a
+        reliable fence through the remote-TPU tunnel.
+        """
+        b = batch.replace(vis_fea=batch.vis_fea + acc * 1e-6)
+        lc, lv, ls_, _, _ = model.apply(variables, b, deterministic=True)
+        log_sm = (
+            jax.nn.log_softmax(lv.astype(jnp.float32), -1)
+            + jax.nn.log_softmax(ls_.astype(jnp.float32), -1)
+            + jax.nn.log_softmax(lc.astype(jnp.float32), -1)
+        )
+        pred = jnp.argmax(log_sm, axis=-1)
+        return acc + jnp.sum(pred).astype(jnp.float32) * 1e-9
+
+    # Warmup / compile
+    acc = predict_chained(params, batch, jnp.float32(0.0))
+    float(acc)
+
+    n_iters = 50
+    acc = jnp.float32(0.0)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        acc = predict_chained(params, batch, acc)
+    float(acc)  # forces the whole chain
+    elapsed = time.perf_counter() - start
+
+    pairs_per_sec = batch_size * n_iters / elapsed
+    print(json.dumps({
+        "metric": "inference_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
