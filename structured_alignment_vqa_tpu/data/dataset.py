@@ -1,0 +1,430 @@
+"""GQA super-node dataset, static-shape collate, and the prefetching loader.
+
+Host-pipeline redesign of the reference loader family (SURVEY.md section 2.3):
+
+* tar archives indexed once (`tar_reader.TarIndex`) instead of per-item
+  re-opens (`...onlyobj.py:246-266`);
+* samples that the reference drops via ``return None`` + collate filtering
+  become ``sample_valid=0`` rows, keeping batch shapes static for XLA;
+* padding targets come from a small set of shape *buckets* instead of the
+  per-batch dynamic maxima at `...onlyobj.py:351-420`, so XLA compiles a
+  handful of programs, not one per batch;
+* a thread pool prefetches and assembles batches while the device computes
+  (replacing torch DataLoader worker processes);
+* per-host sharding is index striding (``shard_idx::num_shards``), replacing
+  ``DistributedSampler`` (`main_itp_ddp_tar_super_node.py:222-225`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from structured_alignment_vqa_tpu.data.batch import VQABatch
+from structured_alignment_vqa_tpu.data.graph_builder import (
+    MacroGraph,
+    PAD_NODE,
+    SuperNodeGraphBuilder,
+    quantize_bbox,
+)
+from structured_alignment_vqa_tpu.data.synonyms import word_converter
+from structured_alignment_vqa_tpu.data.tar_reader import TarIndex, TarMemberList
+from structured_alignment_vqa_tpu.data.vocab import (
+    load_answer_vocab,
+    load_graph_vocab,
+    load_object_vocab,
+)
+from structured_alignment_vqa_tpu.models.glove import SPECIALS
+
+PAD = SPECIALS.PAD
+UNK = SPECIALS.UNK
+LOC_PAD = SPECIALS.LOC_PAD
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Paths + knobs, mirroring the reference CLI flags (`main:435-469,487-488`)."""
+
+    data_dir: str
+    fea_tar: str = "gt_bua_npz.tar"
+    q_tar: str = "train.tar"
+    g_tar: str = "gt_bua_npz.tar"
+    gt_relation_fn: str = "GT_relations_dict_compsite.json"
+    obj_vocab_fn: str = "objects_vocab.txt"
+    attr_vocab_fn: str = "attributes_vocab.txt"
+    enc_vocab_fn: str = "preprocessed/de.vocab.composite2.tsv"
+    ans_vocab_fn: str = "preprocessed/en.vocab.tsv"
+    bbox_bin_num: int = 64
+    min_cnt: int = 50
+    maxlen: int = 450
+    topn: int = 5
+    with_loc: bool = True
+    only_obj: bool = True
+    pred_rel: bool = False
+    seed: int = 0
+    # 'drop' replicates the reference (ragged topN candidate lists kill the
+    # sample via its bare except, `...onlyobj.py:330-334`); 'pad' keeps the
+    # sample with PAD-filled candidate slots.
+    ragged_candidates: str = "drop"
+
+
+@dataclasses.dataclass
+class Sample:
+    """One converted sample (pre-padding)."""
+
+    vis_fea: np.ndarray           # (O, 2048)
+    macro_ids: np.ndarray         # (Ls,)
+    macro_edges: List[Tuple[int, int]]
+    obj_locs: np.ndarray          # (O,)
+    micro_pos_obj: np.ndarray     # (O, topN)
+    micro_neg_obj: np.ndarray     # (O, topN)
+    q_ids: np.ndarray             # (Lq,)
+    q_edges: List[Tuple[int, int]]
+    answer: int
+    micro_pos_rel: Optional[np.ndarray] = None   # (R,)
+    micro_neg_rel: Optional[np.ndarray] = None
+    micro_pos_rel_loc: Optional[np.ndarray] = None  # (R, 5)
+    micro_neg_rel_loc: Optional[np.ndarray] = None  # (R, 5)
+
+
+class GQASuperNodeDataset:
+    """Production dataset: super-node graphs from detected features + GT scene
+    graphs (`data_loader_itp_bbox_super_node[_onlyobj].py`)."""
+
+    def __init__(self, split: str, cfg: DataConfig):
+        self.split = split
+        self.cfg = cfg
+        d = cfg.data_dir
+
+        self.enc_w2id, _ = load_graph_vocab(os.path.join(d, cfg.enc_vocab_fn))
+        self.ans_w2id, _ = load_answer_vocab(os.path.join(d, cfg.ans_vocab_fn), cfg.min_cnt)
+
+        self.fea_tar = TarIndex(os.path.join(d, cfg.fea_tar))
+        g_path = os.path.join(d, cfg.g_tar)
+        self.g_tar = self.fea_tar if g_path == self.fea_tar.path else TarIndex(g_path)
+        self.q_tar = TarIndex(os.path.join(d, cfg.q_tar))
+        self.questions = TarMemberList(self.q_tar, ".json")
+
+        graph_name = "train_sceneGraphs.json" if split == "train" else "val_sceneGraphs.json"
+        with open(os.path.join(d, graph_name)) as f:
+            self.gt_graph = json.load(f)
+        with open(os.path.join(d, cfg.gt_relation_fn)) as f:
+            gt_relations = json.load(f)
+
+        vg_classes = load_object_vocab(os.path.join(d, cfg.obj_vocab_fn))
+        vg_attrs = load_object_vocab(os.path.join(d, cfg.attr_vocab_fn))
+
+        self.builder = SuperNodeGraphBuilder(
+            vg_classes, vg_attrs, gt_relations,
+            topn=cfg.topn, with_loc=cfg.with_loc,
+            only_obj=cfg.only_obj, pred_rel=cfg.pred_rel,
+        )
+        self.word_converter = word_converter()
+
+    def __len__(self) -> int:
+        return len(self.questions)
+
+    # -- tokenization -------------------------------------------------------------
+
+    def _tok(self, node) -> int:
+        if node is PAD_NODE or node == PAD:
+            return PAD
+        node = self.word_converter.get(node, node)
+        return self.enc_w2id.get(node, UNK)
+
+    def _tok_candidates(self, cands: List[List[str]], topn: int) -> Optional[np.ndarray]:
+        rows = []
+        for row in cands:
+            ids = [self._tok(c) for c in row]
+            if len(ids) != topn:
+                if self.cfg.ragged_candidates == "drop":
+                    return None
+                ids = ids + [PAD] * (topn - len(ids))
+            rows.append(ids)
+        return np.asarray(rows, dtype=np.int64).reshape(len(cands), topn)
+
+    # -- sample construction ------------------------------------------------------
+
+    def sample(self, index: int) -> Optional[Sample]:
+        """Mirrors ``__getitem__`` (`...onlyobj.py:244-334`) including its
+        per-sample fault tolerance: any failure returns None."""
+        try:
+            return self._sample(index)
+        except Exception:
+            return None
+
+    def _sample(self, index: int) -> Optional[Sample]:
+        cfg = self.cfg
+        qinfo = self.questions.read_json(index)
+        answer = self.ans_w2id.get(qinfo["answer"], 0)
+        image_id = qinfo["image_id"]
+
+        gt_graph = self.gt_graph[image_id]
+        vis_fea = np.asarray(self.fea_tar.read_npz(image_id)["x"], dtype=np.float32)
+
+        g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
+        bbox = quantize_bbox(
+            g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num
+        )
+        data_info = g_npz["info"].tolist()
+
+        rng = np.random.default_rng((cfg.seed, index))
+        graph = self.builder.convert(data_info, bbox, gt_graph, rng)
+
+        macro_ids = np.asarray([self._tok(n) for n in graph.nodes], dtype=np.int64)
+        q_ids = np.asarray(
+            [self.enc_w2id.get(qn, UNK) for qn in qinfo["node_list"]], dtype=np.int64
+        )
+        if len(macro_ids) + len(q_ids) >= cfg.maxlen:
+            return None
+
+        pos = self._tok_candidates(graph.micro_pos_obj, cfg.topn)
+        neg = self._tok_candidates(graph.micro_neg_obj, cfg.topn)
+        if pos is None or neg is None:
+            return None
+
+        s = Sample(
+            vis_fea=vis_fea,
+            macro_ids=macro_ids,
+            macro_edges=list(graph.edges),
+            obj_locs=np.asarray(graph.obj_locs, dtype=np.int64),
+            micro_pos_obj=pos,
+            micro_neg_obj=neg,
+            q_ids=q_ids,
+            q_edges=list(qinfo["edge_pair"]),
+            answer=int(answer),
+        )
+        if not cfg.only_obj:
+            s.micro_pos_rel = np.asarray(
+                [self._tok(n) for n in graph.micro_pos_rel], dtype=np.int64
+            )
+            s.micro_neg_rel = np.asarray(
+                [self._tok(n) for n in graph.micro_neg_rel], dtype=np.int64
+            )
+            s.micro_pos_rel_loc = (
+                np.asarray(graph.micro_pos_rel_loc, dtype=np.int64).reshape(-1, 5)
+            )
+            nl = np.asarray(graph.micro_neg_rel_loc, dtype=np.int64).reshape(-1, 5)
+            s.micro_neg_rel_loc = nl
+        return s
+
+
+# ---- static-shape collate -------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, order=True)
+class BatchShape:
+    """Padding target: (visual regions, macro nodes, question nodes, relations)."""
+
+    lv: int
+    ls: int
+    lq: int
+    n_rel: int = 0
+
+    def fits(self, s: Sample) -> bool:
+        if s.vis_fea.shape[0] > self.lv or len(s.macro_ids) > self.ls or len(s.q_ids) > self.lq:
+            return False
+        if s.micro_pos_rel is not None and len(s.micro_pos_rel) > self.n_rel:
+            return False
+        return True
+
+
+def default_buckets(cfg: DataConfig, maxlen_q: int = 40, maxlen_v: int = 100) -> List[BatchShape]:
+    """Three nested buckets covering the production shape envelope."""
+    ls_max = cfg.maxlen
+    n_rel = 0 if cfg.only_obj else 1600
+    return [
+        BatchShape(maxlen_v // 2, ls_max // 4, maxlen_q // 2, n_rel // 4),
+        BatchShape(maxlen_v, ls_max // 2, maxlen_q, n_rel // 2),
+        BatchShape(maxlen_v, ls_max, maxlen_q, n_rel),
+    ]
+
+
+def _square(mask_len: int, size: int) -> np.ndarray:
+    m = np.zeros((size, size), np.int32)
+    m[:mask_len, :mask_len] = 1
+    return m
+
+
+def _edges_to_adj(edges, size: int) -> np.ndarray:
+    a = np.zeros((size, size), np.int32)
+    if edges:
+        e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        keep = (e[:, 0] < size) & (e[:, 1] < size)
+        e = e[keep]
+        a[e[:, 0], e[:, 1]] = 1
+    return a
+
+
+def collate(
+    samples: Sequence[Optional[Sample]],
+    shape: BatchShape,
+    topn: int,
+    fea_dim: int = 2048,
+) -> VQABatch:
+    """Pad samples to ``shape``; None / oversized samples become invalid rows.
+
+    Field-for-field equivalent of the reference collate
+    (`...onlyobj.py:341-445`) at a fixed target shape.
+    """
+    import jax.numpy as jnp
+
+    b = len(samples)
+    lv, ls, lq, n_rel = shape.lv, shape.ls, shape.lq, max(shape.n_rel, 1)
+
+    vis = np.zeros((b, lv, fea_dim), np.float32)
+    vis_mask = np.zeros((b, lv, lv), np.int32)
+    macro = np.full((b, ls), PAD, np.int64)
+    macro_mask = np.zeros((b, ls, ls), np.int32)
+    macro_graph = np.zeros((b, ls, ls), np.int32)
+    obj_loc = np.full((b, lv), LOC_PAD, np.int64)
+    mpos = np.full((b, lv, topn), PAD, np.int64)
+    mneg = np.full((b, lv, topn), PAD, np.int64)
+    mmask = np.zeros((b, lv, topn), np.int32)
+    q = np.full((b, lq), PAD, np.int64)
+    q_mask = np.zeros((b, lq, lq), np.int32)
+    q_graph = np.zeros((b, lq, lq), np.int32)
+    prel = np.full((b, n_rel), PAD, np.int64)
+    nrel = np.full((b, n_rel), PAD, np.int64)
+    prel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int64)
+    nrel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int64)
+    answer = np.zeros((b,), np.int64)
+    valid = np.zeros((b,), np.int32)
+
+    for i, s in enumerate(samples):
+        if s is None or not shape.fits(s):
+            continue
+        no = s.vis_fea.shape[0]
+        nm = len(s.macro_ids)
+        nq = len(s.q_ids)
+        vis[i, :no] = s.vis_fea
+        vis_mask[i] = _square(no, lv)
+        macro[i, :nm] = s.macro_ids
+        macro_mask[i] = _square(nm, ls)
+        macro_graph[i] = _edges_to_adj(s.macro_edges, ls)
+        k = min(len(s.obj_locs), lv)
+        obj_loc[i, :k] = s.obj_locs[:k]
+        mpos[i, :s.micro_pos_obj.shape[0]] = s.micro_pos_obj
+        mneg[i, :s.micro_neg_obj.shape[0]] = s.micro_neg_obj
+        mmask[i, :k] = 1
+        q[i, :nq] = s.q_ids
+        q_mask[i] = _square(nq, lq)
+        q_graph[i] = _edges_to_adj(s.q_edges, lq)
+        if s.micro_pos_rel is not None and len(s.micro_pos_rel):
+            nr = len(s.micro_pos_rel)
+            prel[i, :nr] = s.micro_pos_rel
+            prel_loc[i, :nr] = s.micro_pos_rel_loc
+            nn = len(s.micro_neg_rel)
+            nrel[i, :nn] = s.micro_neg_rel
+            nrel_loc[i, :nn] = s.micro_neg_rel_loc
+        answer[i] = s.answer
+        valid[i] = 1
+
+    return VQABatch(
+        vis_fea=jnp.asarray(vis),
+        vis_mask=jnp.asarray(vis_mask),
+        q_ipt=jnp.asarray(q, jnp.int32),
+        q_mask=jnp.asarray(q_mask),
+        q_graph=jnp.asarray(q_graph),
+        macro_ipt=jnp.asarray(macro, jnp.int32),
+        macro_mask=jnp.asarray(macro_mask),
+        macro_graph=jnp.asarray(macro_graph),
+        macro_obj_loc=jnp.asarray(obj_loc, jnp.int32),
+        micro_pos_obj=jnp.asarray(mpos, jnp.int32),
+        micro_neg_obj=jnp.asarray(mneg, jnp.int32),
+        micro_obj_mask=jnp.asarray(mmask),
+        micro_pos_rel=jnp.asarray(prel, jnp.int32),
+        micro_neg_rel=jnp.asarray(nrel, jnp.int32),
+        micro_pos_rel_loc=jnp.asarray(prel_loc, jnp.int32),
+        micro_neg_rel_loc=jnp.asarray(nrel_loc, jnp.int32),
+        answer=jnp.asarray(answer, jnp.int32),
+        sample_valid=jnp.asarray(valid),
+    )
+
+
+# ---- prefetching loader ---------------------------------------------------------
+
+
+class BatchLoader:
+    """Thread-pool prefetching batch iterator with shape bucketing.
+
+    Each epoch: shuffle (seeded by epoch, like ``sampler.set_epoch`` at
+    `main:263`), stride by host shard, prefetch samples, group them into the
+    smallest bucket that fits, and emit fixed-shape `VQABatch`es.
+    """
+
+    def __init__(
+        self,
+        dataset: GQASuperNodeDataset,
+        batch_size: int,
+        buckets: Optional[List[BatchShape]] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        shard_idx: int = 0,
+        num_shards: int = 1,
+        num_threads: int = 8,
+        drop_last: bool = True,
+        prefetch: int = 64,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.buckets = sorted(buckets or default_buckets(dataset.cfg))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard_idx = shard_idx
+        self.num_shards = num_shards
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        return idx[self.shard_idx:: self.num_shards]
+
+    def _bucket_for(self, s: Sample) -> Optional[BatchShape]:
+        for b in self.buckets:
+            if b.fits(s):
+                return b
+        return None
+
+    def __iter__(self) -> Iterator[VQABatch]:
+        idx = self._indices()
+        topn = self.ds.cfg.topn
+        pools: dict = {b: [] for b in self.buckets}
+        n_invalid = 0
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            for s in ex.map(self.ds.sample, idx, chunksize=4):
+                if s is None:
+                    n_invalid += 1  # reference drops these pre-batch
+                    continue
+                bucket = self._bucket_for(s)
+                if bucket is None:
+                    n_invalid += 1
+                    continue
+                pools[bucket].append(s)
+                if len(pools[bucket]) >= self.batch_size:
+                    batch_samples = pools[bucket][: self.batch_size]
+                    pools[bucket] = pools[bucket][self.batch_size:]
+                    yield collate(batch_samples, bucket, topn)
+        self.last_dropped = n_invalid
+
+        if not self.drop_last:
+            for bucket, pool in pools.items():
+                if pool:
+                    pad = [None] * (self.batch_size - len(pool))
+                    yield collate(pool + pad, bucket, topn)

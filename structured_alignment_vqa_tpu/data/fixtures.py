@@ -1,0 +1,139 @@
+"""Synthetic on-disk fixtures in the reference's raw data format.
+
+Writes a miniature GQA-style dataset — feature/graph npz tars, question json
+tars, vocab TSVs, GT scene graphs, relation dictionary — so the full host
+pipeline (tar indexing -> graph construction -> tokenization -> collate) can
+be exercised end-to-end without the real 100GB archives. Formats follow
+`data_loader_itp_bbox_super_node_onlyobj.py:244-334` exactly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from typing import List
+
+import numpy as np
+
+OBJECTS = ["man", "car", "dog", "tree", "window", "shirt", "chair", "ball"]
+ATTRS = ["red", "small", "wooden", "round"]
+RELATIONS = {
+    "man,car": "to the left of",
+    "dog,tree": "near",
+    "car,tree": "behind",
+    "man,dog": "holding",
+    "window,chair": "above",
+}
+ANSWERS = ["yes", "no", "red", "man", "left"]
+QUESTION_WORDS = ["what", "color", "is", "the", "left", "of", "near", "holding"]
+
+
+def _add_bytes(tar: tarfile.TarFile, name: str, data: bytes):
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tar.addfile(info, io.BytesIO(data))
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: int = 0) -> dict:
+    """Create the fixture tree under ``root``; returns summary info."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "preprocessed"), exist_ok=True)
+
+    # --- vocab files ---
+    with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
+        for o in OBJECTS:
+            f.write(o + "\n")
+    with open(os.path.join(root, "attributes_vocab.txt"), "w") as f:
+        for a in ATTRS:
+            f.write(a + "\n")
+
+    # graph-node vocab: objects, attrs, relations (space-stripped), position
+    # nodes, question words
+    vocab: List[str] = ["<pad_tok>"]
+    vocab += OBJECTS + ATTRS
+    vocab += sorted({v.replace(" ", "") for v in RELATIONS.values()})
+    vocab += ["left", "right", "top", "bottom"]
+    for x in range(0, 64, 4):
+        for y in range(0, 64, 4):
+            vocab.append(f"x{x}y{y}")
+    vocab += QUESTION_WORDS
+    with open(os.path.join(root, "preprocessed", "de.vocab.composite2.tsv"), "w") as f:
+        for i, w in enumerate(dict.fromkeys(vocab)):
+            f.write(f"{w} {i + 10}\n")
+
+    with open(os.path.join(root, "preprocessed", "en.vocab.tsv"), "w") as f:
+        for a in ANSWERS:
+            f.write(f"{a} 100\n")
+        f.write("rare_answer 1\n")  # below min_cnt, must be filtered
+
+    with open(os.path.join(root, "GT_relations_dict_compsite.json"), "w") as f:
+        json.dump(RELATIONS, f)
+
+    # --- per-image features / graphs / GT scene graphs ---
+    scene_graphs = {}
+    fea_tar_path = os.path.join(root, "gt_bua_npz.tar")
+    with tarfile.open(fea_tar_path, "w") as tar:
+        for img in range(n_images):
+            image_id = f"img{img:04d}"
+            n_obj = int(rng.integers(2, 5))
+            fea = rng.standard_normal((n_obj, 2048)).astype(np.float32)
+
+            w, h = 640, 480
+            bbox = np.stack([
+                rng.uniform(0, w / 2, n_obj), rng.uniform(0, h / 2, n_obj),
+                rng.uniform(w / 2, w, n_obj), rng.uniform(h / 2, h, n_obj),
+            ], axis=1).astype(np.float32)
+
+            obj_names = [OBJECTS[int(k)] for k in rng.integers(0, len(OBJECTS), n_obj)]
+            objects_id = [
+                list(rng.integers(0, len(OBJECTS), size=6)) for _ in range(n_obj)
+            ]
+            attrs_id = [int(rng.integers(0, len(ATTRS))) for _ in range(n_obj)]
+            info = {"objects_id": objects_id, "attrs_id": attrs_id}
+
+            scene_graphs[image_id] = {
+                "objects": {
+                    f"o{k}": {"name": obj_names[k]} for k in range(n_obj)
+                }
+            }
+            _add_bytes(
+                tar, f"{image_id}.npz",
+                _npz_bytes(
+                    x=fea, bbox=bbox, image_w=np.float64(w), image_h=np.float64(h),
+                    info=np.asarray(info, dtype=object),
+                ),
+            )
+
+    for split in ("train", "val"):
+        with open(os.path.join(root, f"{split}_sceneGraphs.json"), "w") as f:
+            json.dump(scene_graphs, f)
+
+    # --- question tars ---
+    image_ids = sorted(scene_graphs.keys())
+    for split, n_q in (("train", n_questions), ("val", max(n_questions // 4, 4))):
+        with tarfile.open(os.path.join(root, f"{split}.tar"), "w") as tar:
+            for qi in range(n_q):
+                n_words = int(rng.integers(2, 6))
+                nodes = [QUESTION_WORDS[int(k)] for k in rng.integers(0, len(QUESTION_WORDS), n_words)]
+                edges = [
+                    [int(a), int(b)]
+                    for a in range(n_words) for b in range(n_words)
+                    if a != b and rng.random() < 0.4
+                ]
+                qdata = {
+                    "node_list": nodes,
+                    "edge_pair": edges,
+                    "answer": ANSWERS[int(rng.integers(0, len(ANSWERS)))],
+                    "image_id": image_ids[int(rng.integers(0, len(image_ids)))],
+                }
+                _add_bytes(tar, f"{split}/q{qi:05d}.json", json.dumps(qdata).encode())
+
+    return {"n_images": n_images, "image_ids": image_ids}
