@@ -41,7 +41,12 @@ def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array, epsilon: float =
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     n = x.shape[-1]
     var = jnp.sum(jnp.square(x32 - mean), axis=-1, keepdims=True) / max(n - 1, 1)
-    std = jnp.sqrt(var)
+    # Double-where guard: sqrt' at var=0 is inf, which turns the (x-mean)=0
+    # factor into NaN gradients on exactly-constant rows (e.g. all-padding
+    # rows at zero-bias init). Forward value is unchanged (std=0 there, as in
+    # torch); the gradient becomes the correct 0 subgradient.
+    nonzero = var > 0.0
+    std = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, var, 1.0)), 0.0)
     out = gamma * (x32 - mean) / (std + epsilon) + beta
     return out.astype(x.dtype)
 

@@ -43,3 +43,17 @@ def make_mesh(
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def fitting_mesh(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Largest mesh whose data axis divides ``batch_size``.
+
+    Small debug batches (the reference's ``--local_debug`` regime) must not
+    force an 8-way shard of a batch of 4; production batch sizes use every
+    device.
+    """
+    n = len(jax.devices())
+    data_ax = max(n // model_parallel, 1)
+    while data_ax > 1 and batch_size % data_ax:
+        data_ax -= 1
+    return make_mesh(n_devices=data_ax * model_parallel, model_parallel=model_parallel)

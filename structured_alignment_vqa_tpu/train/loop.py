@@ -1,0 +1,202 @@
+"""The training loop.
+
+Mirrors the reference epoch structure (`main_itp_ddp_tar_super_node.py:261-428`):
+per-epoch train pass, eval on val AND train loaders, metric aggregation,
+per-epoch checkpoint — with the TPU-native substitutions:
+
+* DDP/NCCL -> GSPMD mesh (gradient psum inside the jitted step);
+* ``dist.all_gather`` of metric triples -> metric sums already global;
+* save-only .pth -> orbax save + resume;
+* Azure Run.log -> JSONL metric sink.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structured_alignment_vqa_tpu.data.dataset import BatchLoader, DataConfig, GQASuperNodeDataset
+from structured_alignment_vqa_tpu.models import AttModelX3
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+from structured_alignment_vqa_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from structured_alignment_vqa_tpu.parallel.mesh import fitting_mesh
+from structured_alignment_vqa_tpu.parallel.train_step import adam, put_batch, shard_state
+from structured_alignment_vqa_tpu.utils.checkpoint import (
+    latest_epoch,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from structured_alignment_vqa_tpu.utils.logging import MetricLogger, setup_logging
+from structured_alignment_vqa_tpu.utils.metrics import AverageMeter
+from structured_alignment_vqa_tpu.utils.profiling import StepTimer
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str = "./tmp"
+    batch_size: int = 32
+    lr: float = 1e-4
+    num_epochs: int = 40
+    log_steps: int = 100
+    log_steps_val: int = 100
+    with_milnce: bool = True
+    with_smooth_labeling: bool = True  # v3 loss always smooths (`main:334-345`)
+    model_parallel: int = 1
+    seed: int = 0
+    resume: bool = True
+    checkpoint_every: int = 1
+    max_checkpoints: Optional[int] = None
+    num_workers: int = 8
+
+
+def run_eval(eval_step, state, loader, logger, log_steps, tag=""):
+    """Eval pass; returns (avg_loss, n_correct, n) — already global sums
+    (replacing `main:380-404`)."""
+    loss_meter = AverageMeter()
+    mil_meter = AverageMeter()
+    n_correct = 0.0
+    n_total = 0.0
+    for i, batch in enumerate(loader):
+        m = eval_step(state, batch)
+        n = float(m["n"])
+        if n > 0:
+            loss_meter.update(float(m["loss_sum"]) / n, int(n))
+            mil_meter.update(float(m["mil_sum"]) / n, int(n))
+        n_correct += float(m["n_correct"])
+        n_total += n
+        if (i + 1) % log_steps == 0:
+            logger.info(
+                "Time %s, %s Step [%d], Avg Loss: %s, Avg MILNCE_loss: %s",
+                datetime.datetime.now(), tag, i + 1, loss_meter.avg, mil_meter.avg,
+            )
+    return loss_meter.avg, n_correct, n_total
+
+
+def train(
+    model_cfg: ModelConfig,
+    data_cfg: DataConfig,
+    trainer_cfg: TrainerConfig,
+    val_data_cfg: Optional[DataConfig] = None,
+    glove_table: Optional[np.ndarray] = None,
+):
+    """Full training run; returns the final TrainState."""
+    tc = trainer_cfg
+    proc = jax.process_index()
+    nproc = jax.process_count()
+    logger = setup_logging(tc.output_dir, proc)
+    metrics_out = MetricLogger(tc.output_dir, proc)
+
+    mesh = fitting_mesh(tc.batch_size, tc.model_parallel)
+    logger.info("mesh: %s over %d devices, %d processes", mesh.shape, mesh.size, nproc)
+
+    train_ds = GQASuperNodeDataset("train", data_cfg)
+    val_ds = GQASuperNodeDataset("val", val_data_cfg or data_cfg)
+    model_cfg = model_cfg.replace(topn=data_cfg.topn, only_obj=data_cfg.only_obj)
+    model = AttModelX3(model_cfg)
+    tx = adam(tc.lr)
+
+    train_loader = BatchLoader(
+        train_ds, tc.batch_size, shuffle=True, seed=tc.seed,
+        shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
+    )
+    val_loader = BatchLoader(
+        val_ds, tc.batch_size, shuffle=False,
+        shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
+    )
+
+    # init from the first available batch (defines bucket shapes are per-batch;
+    # params are shape-independent)
+    probe = next(iter(BatchLoader(
+        train_ds, tc.batch_size, shuffle=False, num_threads=tc.num_workers
+    )))
+    state = create_train_state(model, jax.random.key(tc.seed), probe, tx)
+
+    if glove_table is not None:
+        state = state.replace(params=graft_glove(state.params, glove_table))
+
+    start_epoch = 0
+    ckpt_dir = f"{tc.output_dir}/checkpoints"
+    if tc.resume and latest_epoch(ckpt_dir) is not None:
+        state, start_epoch = restore_checkpoint(ckpt_dir, state)
+        logger.info("resumed from epoch %d", start_epoch)
+
+    state = shard_state(state, mesh)
+    train_step = make_train_step(model, tx, model_cfg, with_milnce=tc.with_milnce)
+    eval_step = make_eval_step(model, model_cfg, with_milnce=tc.with_milnce)
+    rng = jax.random.key(tc.seed + 1)
+    timer = StepTimer()
+
+    for epoch in range(start_epoch, tc.num_epochs):
+        train_loader.set_epoch(epoch)
+        loss_meter, mil_meter = AverageMeter(), AverageMeter()
+
+        for i, batch in enumerate(train_loader):
+            state, m = train_step(state, put_batch(batch, mesh), rng)
+            bsz = int(m["n"])
+            if bsz:
+                loss_meter.update(float(m["loss"]), bsz)
+                mil_meter.update(float(m["mil_nce_loss"]), bsz)
+            sps = timer.tick()
+            if proc == 0 and (i + 1) % tc.log_steps == 0:
+                logger.info(
+                    "Time %s, Epoch [%d/%d], Step [%d], Loss: %s, MIL NCE Loss: %s, "
+                    "Avg Loss: %s, Avg MILNCE_loss: %s, steps/s: %s",
+                    datetime.datetime.now(), epoch + 1, tc.num_epochs, i + 1,
+                    float(m["loss"]), float(m["mil_nce_loss"]),
+                    loss_meter.avg, mil_meter.avg, sps,
+                )
+                metrics_out.log("Avg Loss", loss_meter.avg, int(state.step))
+                metrics_out.log("Avg MILNCE_loss", mil_meter.avg, int(state.step))
+
+        # per-epoch eval on val and train (`main:380-382`)
+        val_loss, val_corr, val_n = run_eval(
+            eval_step, state, _mesh_iter(val_loader, mesh), logger, tc.log_steps_val, "val")
+        train_loss, tr_corr, tr_n = run_eval(
+            eval_step, state, _mesh_iter(train_loader, mesh), logger, tc.log_steps, "train")
+
+        if proc == 0:
+            val_acc = val_corr / max(val_n, 1)
+            train_acc = tr_corr / max(tr_n, 1)
+            logger.info(
+                "Time %s, Epoch [%d/%d], Val Loss: %s, accuracy: %s/%s = %s",
+                datetime.datetime.now(), epoch + 1, tc.num_epochs, val_loss,
+                val_corr, val_n, val_acc,
+            )
+            logger.info(
+                "Time %s, Epoch [%d/%d], Train Loss: %s, accuracy: %s/%s = %s",
+                datetime.datetime.now(), epoch + 1, tc.num_epochs, train_loss,
+                tr_corr, tr_n, train_acc,
+            )
+            metrics_out.log("Test Acc", val_acc, epoch + 1)
+            metrics_out.log("Train Acc", train_acc, epoch + 1)
+
+        if (epoch + 1) % tc.checkpoint_every == 0:
+            save_checkpoint(ckpt_dir, state, epoch + 1, tc.max_checkpoints)
+
+    return state
+
+
+def _mesh_iter(loader, mesh):
+    for batch in loader:
+        yield put_batch(batch, mesh)
+
+
+def graft_glove(params, table: np.ndarray):
+    """Copy GloVe vectors into every GloVe table parameter (rows [0, n)),
+    the post-init analogue of `AttModel_x3.py:38`."""
+    def visit(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if name == "table" and leaf.ndim == 2 and leaf.shape[0] >= table.shape[0]:
+            return leaf.at[: table.shape[0]].set(jnp.asarray(table, leaf.dtype))
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)

@@ -122,6 +122,24 @@ class TestLayerNorm:
         np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+class TestLayerNormGradGuard:
+    def test_constant_row_has_finite_zero_grad(self):
+        """Regression: exactly-constant rows (var=0) must give 0 gradients,
+        not NaN (sqrt' at 0 is inf; padded rows hit this at zero-bias init)."""
+        gamma = jnp.ones(8)
+        beta = jnp.zeros(8)
+        x = jnp.stack([jnp.zeros(8), jnp.full(8, 3.0), jnp.arange(8.0)])
+
+        def f(x):
+            return jnp.sum(layer_norm(x, gamma, beta))
+
+        g = np.asarray(jax.grad(f)(x))
+        assert np.isfinite(g).all()
+        np.testing.assert_allclose(g[0], 0.0)
+        np.testing.assert_allclose(g[1], 0.0)
+        assert np.abs(g[2]).max() > 0  # normal rows still flow
+
+
 class TestLabelSmoothing:
     def test_formula(self):
         y = jnp.eye(5)[jnp.array([1, 3])]
