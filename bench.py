@@ -36,6 +36,7 @@ def main() -> None:
         only_obj=True,
         compute_dtype=jnp.bfloat16,
         share_glove=True,
+        use_pallas_attention=True,  # fused graph-attention kernel
         dropout_rate=0.5,  # inactive at inference
     )
     model = AttModelX3(cfg)

@@ -183,6 +183,7 @@ class _EncoderDecoder(nn.Module):
             att = GraphGuidedAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads,
                 dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}",
+                use_pallas=cfg.use_pallas_attention,
             )
             ffn = FeedForward(
                 cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),

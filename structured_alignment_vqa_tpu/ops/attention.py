@@ -158,6 +158,7 @@ class _AttentionBase(nn.Module):
     causality: bool = False
     return_att: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def _project(self, queries, keys, values):
         q = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="q_proj")(queries))
@@ -174,6 +175,29 @@ class _AttentionBase(nn.Module):
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
+
+        # Fused Pallas path: self-attention-shaped graph attention with no
+        # dropout and no attention-weights output (the hot encoder blocks).
+        if (
+            self.use_pallas
+            and graph is not None
+            and renorm in ("l1", "sum_eps")
+            and not self.causality
+            and not self.return_att
+            and rng is None
+            and queries.shape == keys.shape
+        ):
+            from structured_alignment_vqa_tpu.ops.pallas_attention import (
+                fused_graph_attention,
+            )
+
+            out = fused_graph_attention(
+                q, k, v,
+                content_mask(keys), content_mask(queries),
+                graph, self.num_heads, renorm,
+            )
+            return self._finish(out, queries)
+
         out, att = attention_core(
             q,
             k,

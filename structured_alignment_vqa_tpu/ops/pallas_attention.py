@@ -1,0 +1,163 @@
+"""Fused graph-guided attention — the Pallas kernel tier.
+
+The reference's core op (`modules.py:210-311`) materializes the (h*N, T, T)
+attention tensor in HBM several times (scores, masked scores, softmax, graph
+product, renormalized weights). This kernel fuses the whole chain
+
+    QK^T -> scale -> key-mask fill -> softmax -> x graph -> renorm -> x query-mask -> @V
+
+into one VMEM-resident pass per (batch, head) grid cell: the (L, L) attention
+matrix never touches HBM. At the production operating point (L <= 512,
+Dh = 64) a full (L, L) f32 tile plus Q/K/V slabs is well under the ~16 MB VMEM
+budget, so no inner K-blocking is needed.
+
+The backward pass reuses XLA autodiff of the composite implementation in
+`attention.py` (identical math) via ``jax.custom_vjp`` — the fused kernel
+accelerates the forward (inference/serving and the forward half of training).
+
+Usage: gate via ``ModelConfig.use_pallas_attention``; the wrapper pads L to
+the TPU lane width and slices back, which is exact because padded key columns
+carry a zero key-mask (softmax mass exp(-2^32) == 0) and padded query rows are
+zeroed by the query mask before the V matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE
+from structured_alignment_vqa_tpu.ops.attention import L1_NORM_EPS, SUM_NORM_EPS
+
+LANE = 128
+
+# Flip to True to run the kernel through the Pallas interpreter (CPU tests).
+INTERPRET_MODE = False
+
+
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref, *, num_heads: int, renorm: str):
+    """One batch element: all heads, fused, VMEM-resident.
+
+    Processing every head in one program amortizes the (L, L) graph load
+    (shared across heads) and keeps per-program work large enough to hide
+    DMA behind compute.
+    """
+    q = q_ref[0]          # (L, C)
+    k = k_ref[0]          # (L, C)
+    v = v_ref[0]          # (L, C)
+    km = kmask_ref[0]     # (1, L) 0/1
+    qm = qmask_ref[0]     # (1, L)
+    graph = graph_ref[0]  # (L, L)
+
+    c = q.shape[-1]
+    dh = c // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    key_fill = km == 0.0                  # (1, L), broadcasts over query rows
+    qcol = qm.reshape(-1, 1)
+
+    for h in range(num_heads):            # static unroll; channel-chunk heads
+        sl = slice(h * dh, (h + 1) * dh)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                         # (L, L)
+        scores = jnp.where(key_fill, NEG_MASK_VALUE, scores)
+        att = jax.nn.softmax(scores, axis=-1)
+        att = att * graph
+        if renorm == "l1":
+            norm = jnp.sum(jnp.abs(att), axis=-1, keepdims=True)
+            att = att / jnp.maximum(norm, L1_NORM_EPS)
+        elif renorm == "sum_eps":
+            att = att / (jnp.sum(att, axis=-1, keepdims=True) + SUM_NORM_EPS)
+        att = att * qcol
+        out = jax.lax.dot_general(
+            att.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, sl] = out.astype(out_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, size: int) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str):
+    """q/k/v: (B, L, C); key/query_mask: (B, L); graph: (B, L, L) -> (B, L, C)."""
+    b, l, c = q.shape
+    lp = ((l + LANE - 1) // LANE) * LANE
+
+    qp = _pad_to(q, 1, lp)
+    kp = _pad_to(k, 1, lp)
+    vp = _pad_to(v, 1, lp)
+    km = _pad_to(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lp)
+    qm = _pad_to(query_mask.astype(jnp.float32).reshape(b, 1, l), 2, lp)
+    g = _pad_to(_pad_to(graph.astype(jnp.float32), 1, lp), 2, lp)
+
+    kernel = functools.partial(_kernel, num_heads=num_heads, renorm=renorm)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * lp * lp * c,
+            bytes_accessed=(4 * b * lp * c + b * lp * lp) * 4,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+        interpret=INTERPRET_MODE,
+    )(qp, kp, vp, km, qm, g)
+
+    return out[:, :l, :]
+
+
+def _composite(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str):
+    """XLA reference path (identical math) used for the backward pass."""
+    from structured_alignment_vqa_tpu.ops.attention import attention_core
+
+    out, _ = attention_core(
+        q, k, v, key_mask=key_mask, query_mask=query_mask,
+        num_heads=num_heads, graph=graph, renorm=renorm,
+    )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_graph_attention(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str = "l1"):
+    """Fused self-attention with graph renorm; differentiable (composite bwd)."""
+    return _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads, renorm)
+
+
+def _fga_fwd(q, k, v, key_mask, query_mask, graph, num_heads, renorm):
+    out = _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads, renorm)
+    return out, (q, k, v, key_mask, query_mask, graph)
+
+
+def _fga_bwd(num_heads, renorm, res, g):
+    q, k, v, key_mask, query_mask, graph = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _composite(q_, k_, v_, key_mask, query_mask, graph, num_heads, renorm),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None, None
+
+
+fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)

@@ -1,0 +1,82 @@
+"""Fused Pallas graph-attention: interpreter-mode parity vs the composite op."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import structured_alignment_vqa_tpu.ops.pallas_attention as pa
+from structured_alignment_vqa_tpu.ops.attention import attention_core, content_mask
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pa.INTERPRET_MODE = True
+    yield
+    pa.INTERPRET_MODE = False
+
+
+def make_inputs(rng, b=2, l=9, c=16):
+    x = rng.standard_normal((b, l, c)).astype(np.float32)
+    x[0, -2:] = 0.0  # padding rows
+    q = jnp.asarray(jax.nn.relu(jnp.asarray(x) * 0.5 + 0.1))
+    k = jnp.asarray(jax.nn.relu(jnp.asarray(x) * 0.3 - 0.05))
+    v = jnp.asarray(jax.nn.relu(jnp.asarray(x)))
+    km = content_mask(jnp.asarray(x))
+    qm = content_mask(jnp.asarray(x))
+    graph = jnp.asarray((rng.random((b, l, l)) > 0.4).astype(np.float32))
+    return q, k, v, km, qm, graph
+
+
+@pytest.mark.parametrize("renorm", ["l1", "sum_eps"])
+@pytest.mark.parametrize("num_heads", [2, 4])
+def test_fused_matches_composite(rng, renorm, num_heads):
+    q, k, v, km, qm, graph = make_inputs(rng)
+    got = pa.fused_graph_attention(q, k, v, km, qm, graph, num_heads, renorm)
+    want, _ = attention_core(
+        q, k, v, key_mask=km, query_mask=qm, num_heads=num_heads,
+        graph=graph, renorm=renorm,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_unaligned_length_padding_exact(rng):
+    # L=130 crosses one lane boundary; padding must not perturb results
+    q, k, v, km, qm, graph = make_inputs(rng, b=1, l=130, c=32)
+    got = pa.fused_graph_attention(q, k, v, km, qm, graph, 4, "l1")
+    want, _ = attention_core(
+        q, k, v, key_mask=km, query_mask=qm, num_heads=4, graph=graph, renorm="l1"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_gradients_match_composite(rng):
+    q, k, v, km, qm, graph = make_inputs(rng)
+
+    def f_fused(q, k, v):
+        return jnp.sum(pa.fused_graph_attention(q, k, v, km, qm, graph, 2, "l1") ** 2)
+
+    def f_comp(q, k, v):
+        out, _ = attention_core(
+            q, k, v, key_mask=km, query_mask=qm, num_heads=2, graph=graph, renorm="l1"
+        )
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_comp, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_module_uses_pallas_path(rng):
+    """GraphGuidedAttention(use_pallas=True) must agree with the composite."""
+    from structured_alignment_vqa_tpu.ops.attention import GraphGuidedAttention
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    graph = jnp.asarray((rng.random((2, 9, 9)) > 0.4).astype(np.float32))
+    m1 = GraphGuidedAttention(num_units=16, num_heads=2, use_pallas=True)
+    m2 = GraphGuidedAttention(num_units=16, num_heads=2, use_pallas=False)
+    p = m1.init(jax.random.key(0), x, x, x, graph)
+    o1 = m1.apply(p, x, x, x, graph)
+    o2 = m2.apply(p, x, x, x, graph)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
