@@ -1,0 +1,703 @@
+"""The ablation-model matrix: the reference's 17 `transformers/` file forks as
+configuration over shared modules.
+
+Family map (reference file -> class here; structural knobs in parentheses):
+
+* `AttModel_x.py`            -> :class:`MaxPoolDualEncoder` (stage_style='x')
+* `AttModel_x2.py`           -> :class:`MaxPoolDualEncoder` (stage_style='x2')
+* `AttModel_x2_pre.py`       -> :class:`MaxPoolDualEncoder` (stage_style='x2')
+* `AttModel_x2_distill.py`   -> :class:`MaxPoolDualEncoder` (stage_style='x2')
+* `AttModel.py`, `AttModel_sameMask.py` -> dead legacy (import a module that
+  does not exist in the repo, SURVEY.md section 1); covered by stage_style='x'.
+* `AttModel_x4_dec.py`       -> :class:`X4DecModel` (1-token decoder, 1-D masks)
+* `AttModel_x2_dec[_ori].py`, `AttModel_x2_mlp_dec.py`, `AttModel_x2_syb_dec.py`
+                             -> :class:`X2DecModel` (ids-input symbolic branch,
+                                visGraph option, single/MCB head)
+* `AttModel_x2_fusion_dec[_relatt].py` -> :class:`X2DecModel` (heads='triple')
+* `AttModel_x3_ori.py`       -> :class:`X2DecModel` (heads='triple'); the
+                                maintained successor is `att_model_x3.AttModelX3`
+* `AttModel_x5_dec_mil.py`   -> :class:`X5DecMil`
+* `AttModel_x6_dec_mil.py`   -> :class:`X6DecMil`
+* `AttModel_x7_dec_mil.py`   -> :class:`X7DecMil`
+
+All use the graph-mask attention flavor (sum+1e-7 renorm) except the x2_dec/x3
+line, which uses the L1-renorm graph-guided attention. The reference calls the
+graph-mask op with ``graph=None`` in several places where its shipped body
+would crash (`modules.py:375`); here None means "mask-only attention", the
+evident intent.
+
+These models return raw logits (plus attention weights for the MIL line, fed
+to :class:`~structured_alignment_vqa_tpu.train.att_mil_loss.AttMILLoss`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from structured_alignment_vqa_tpu.models.att_model_x3 import (
+    BOS_ID,
+    GloVeEmbed,
+    _EncoderDecoder,
+    build_stage_graphs,
+)
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+from structured_alignment_vqa_tpu.ops.attention import (
+    GraphGuidedAttention,
+    GraphMaskAttention,
+)
+from structured_alignment_vqa_tpu.ops.layers import Embedding, FeedForward
+from structured_alignment_vqa_tpu.ops.mcb import compact_bilinear_pooling
+
+
+def _positions(b: int, l: int) -> jax.Array:
+    return jnp.broadcast_to(jnp.arange(l)[None, :], (b, l))
+
+
+class _TwoLayerMLP(nn.Module):
+    """Linear -> ReLU -> Linear (the reference's v_mlp / q_mlp shape)."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+def _stage_graphs_1d(mod_mask, q_mask, q_graph, mod_graph, style: str):
+    """Stage graphs from 1-D masks, the x/x2 construction.
+
+    mod_mask/q_mask: (B, Lm)/(B, Lq) 0/1; q_graph: (B, Lq, Lq);
+    mod_graph: (B, Lm, Lm) or None (visual branch: fully connected).
+
+    x  (`AttModel_x.py:84-91`):   stage1 = None (mask-only), stage2 = zeros
+                                  with [mod_graph|q_graph] diagonal blocks.
+    x2 (`AttModel_x2.py:94-117`): graph_diag = [mod FC | q_mask rows],
+                                  graph_cross = off-diagonal blocks,
+                                  graph = ones with q_graph (and mod_graph) set.
+    """
+    b, lm = mod_mask.shape
+    lq = q_mask.shape[1]
+    size = lm + lq
+    f32 = jnp.float32
+    qm_rows = q_mask.astype(f32)[:, None, :]          # broadcast as rows
+    mm_rows = mod_mask.astype(f32)[:, None, :]
+
+    graph = jnp.zeros((b, size, size), f32)
+    if mod_graph is None:
+        graph_mod_block = jnp.ones((b, lm, lm), f32)
+    else:
+        graph_mod_block = mod_graph.astype(f32)
+
+    if style == "x":
+        final = graph.at[:, :lm, :lm].set(0.0 if mod_graph is None else graph_mod_block)
+        # the x visual branch leaves the modality block zero (`AttModel_x.py:87-88`)
+        if mod_graph is not None:
+            final = graph.at[:, :lm, :lm].set(graph_mod_block)
+        final = final.at[:, lm:, lm:].set(q_graph.astype(f32))
+        return [None, final]
+
+    # x2: three stages
+    graph_diag = jnp.zeros((b, size, size), f32)
+    graph_diag = graph_diag.at[:, :lm, :lm].set(
+        1.0 if mod_graph is None else graph_mod_block
+    )
+    graph_diag = graph_diag.at[:, lm:, lm:].set(
+        jnp.broadcast_to(qm_rows, (b, lq, lq))
+    )
+    graph_cross = jnp.zeros((b, size, size), f32)
+    graph_cross = graph_cross.at[:, :lm, lm:].set(jnp.broadcast_to(qm_rows, (b, lm, lq)))
+    graph_cross = graph_cross.at[:, lm:, :lm].set(1.0)
+    graph_full = jnp.ones((b, size, size), f32)
+    if mod_graph is not None:
+        graph_full = graph_full.at[:, :lm, :lm].set(graph_mod_block)
+    graph_full = graph_full.at[:, lm:, lm:].set(q_graph.astype(f32))
+    return [graph_diag, graph_cross, graph_full]
+
+
+class _MaxPoolBranch(nn.Module):
+    """One encoder branch of the x/x2 family: modality ++ question tokens,
+    mask-only then graph-staged blocks, masked max-pool
+    (`AttModel_x.py:62-95,143-179`; `AttModel_x2.py:73-131`)."""
+
+    cfg: ModelConfig
+    stage_style: str  # 'x' | 'x2'
+    is_visual: bool
+    pe_size: int
+
+    @nn.compact
+    def __call__(self, mod_fea, mod_mask, mod_graph, q_fea, q_graph, q_mask,
+                 deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, lm = mod_fea.shape[:2]
+        lq = q_fea.shape[1]
+
+        q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="q_mlp")(q_fea)
+        q = q + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="q_positional_encoding")(_positions(b, lq))
+        )
+        m = mod_fea.astype(dt)
+        m = m + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(self.pe_size, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="positional_encoding")(_positions(b, lm))
+        )
+        fea = jnp.concatenate([m, q], axis=1)
+        mask_1d = jnp.concatenate(
+            [mod_mask.astype(jnp.float32), q_mask.astype(jnp.float32)], axis=1
+        )
+
+        stages = _stage_graphs_1d(mod_mask, q_mask, q_graph, mod_graph, self.stage_style)
+        n = cfg.num_blocks
+        if self.stage_style == "x":
+            plan = [stages[0]] * (n // 2) + [stages[1]] * (n - n // 2)
+        else:
+            s1, s2 = cfg.stage1_blocks, cfg.stage2_blocks
+            plan = [stages[0]] * s1 + [stages[1]] * (s2 - s1) + [stages[2]] * (n - s2)
+
+        for i, g in enumerate(plan):
+            fea = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}",
+            )(fea, fea, fea, g, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+
+        fea = fea * mask_1d[..., None].astype(fea.dtype)
+        return jnp.max(fea, axis=1)  # (B, h)
+
+
+class MaxPoolDualEncoder(nn.Module):
+    """x / x2 / x2_pre / x2_distill top: two max-pooled branches, concat, one
+    classifier head (`AttModel_x.py:181-211`)."""
+
+    cfg: ModelConfig
+    stage_style: str = "x2"
+
+    @nn.compact
+    def __call__(self, vis_fea, q_ipt, q_mask_1d, q_graph, syb_ipt, syb_mask_1d,
+                 syb_graph, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        q_fea = glove(q_ipt)
+
+        b, lv = vis_fea.shape[:2]
+        vis_proj = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="v_mlp")(
+            vis_fea.astype(dt)
+        )
+        vis_mask_1d = jnp.ones((b, lv), jnp.float32)  # grid features: all valid
+        fea_vis = _MaxPoolBranch(
+            cfg, self.stage_style, True, pe_size=cfg.maxlen_v, name="att_vis_grid",
+        )(vis_proj, vis_mask_1d, None, q_fea, q_graph, q_mask_1d, deterministic)
+
+        syb_emb = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        syb_fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+            syb_emb(syb_ipt)
+        )
+        fea_syb = _MaxPoolBranch(
+            cfg, self.stage_style, False, pe_size=cfg.maxlen, name="att_syb",
+        )(syb_fea, syb_mask_1d, syb_graph, q_fea, q_graph, q_mask_1d, deterministic)
+
+        fea = jnp.concatenate([fea_syb, fea_vis], axis=1)
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(fea))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h)
+
+
+class X2DecModel(nn.Module):
+    """x2_dec line: AttModelX3's dual encoder/decoder body *without* MIL-NCE —
+    the symbolic branch embeds token ids directly (`AttModel_x2_dec.py:272-277`)
+    — plus the visGraph option (vis block adjacency from input,
+    `AttModel_x2_dec.py:144-148`). ``heads='single'`` (x2_dec) or ``'triple'``
+    (x2_fusion_dec / x3_ori, `AttModel_x2_fusion_dec.py:400-420`).
+    """
+
+    cfg: ModelConfig
+    heads: str = "single"  # 'single' | 'triple'
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, syb_ipt,
+                 syb_mask, syb_graph, vis_graph=None, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        shared = (
+            GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="glove")
+            if cfg.share_glove else None
+        )
+
+        vis_glove = shared or GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt,
+                                         name="vis_syb_emb")
+        fea_vis = _EncoderDecoder(
+            cfg, pe_table_size=cfg.maxlen, pe_dropout=True, name="att_vis_grid",
+        )(vis_fea, vis_mask, vis_graph, q_ipt, q_graph, q_mask, vis_glove,
+          deterministic)
+
+        # symbolic branch: embed [syb ids ++ q ids] jointly, 300 -> hidden
+        syb_glove = shared or GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt,
+                                         name="syb_syb_emb")
+        b, ls = syb_ipt.shape
+        lq = q_ipt.shape[1]
+        joint = jnp.concatenate([syb_ipt, q_ipt], axis=1)
+        fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+            syb_glove(joint)
+        )
+        fea = fea + Embedding(
+            cfg.maxlen + cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+            dtype=dt, name="syb_positional_encoding",
+        )(_positions(b, ls + lq))
+        fea = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(fea)
+
+        graph_diag, graph_cross, graph, dec_mask = build_stage_graphs(
+            syb_mask, q_mask, q_graph, syb_graph,
+            use_dec_mask=cfg.use_dec_mask,
+            distinct_cross_stage=cfg.distinct_cross_stage,
+        )
+        for i in range(cfg.num_blocks):
+            g = graph_diag if i < cfg.stage1_blocks else (
+                graph_cross if i < cfg.stage2_blocks else graph)
+            fea = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dropout_rate=0.0,
+                dtype=dt, name=f"syb_enc_self_attention_{i}",
+                use_pallas=cfg.use_pallas_attention,
+            )(fea, fea, fea, g, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"syb_enc_feed_forward_{i}")(fea)
+
+        dec = Embedding(cfg.num_classes, cfg.hidden_size, zeros_pad=True, scale=True,
+                        dtype=dt, name="syb_dec_emb")(jnp.full((b, 1), BOS_ID, jnp.int32))
+        dec = dec + Embedding(
+            cfg.maxlen + cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+            dtype=dt, name="syb_dec_positional_encoding",
+        )(jnp.zeros((b, 1), jnp.int32))
+        dec = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(dec)
+        from structured_alignment_vqa_tpu.ops.attention import MultiHeadAttention
+
+        for i in range(cfg.num_blocks):
+            dec = MultiHeadAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, causality=True,
+                dtype=dt, name=f"syb_dec_self_attention_{i}",
+            )(dec, dec, dec, deterministic=deterministic)
+            dec = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"syb_dec_vanilla_attention_{i}",
+            )(dec, fea, fea, dec_mask, deterministic=deterministic)
+            dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"syb_dec_feed_forward_{i}")(dec)
+        fea_syb = dec
+
+        def head(prefix, x):
+            x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name=f"{prefix}_hidden")(x))
+            x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
+            return nn.Dense(cfg.num_classes, dtype=dt, name=f"{prefix}_out")(x)
+
+        if self.heads == "triple":
+            logits_vis = head("cls_vis", fea_vis)[:, 0]
+            logits_syb = head("cls_syb", fea_syb)[:, 0]
+            fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+            logits_concat = head("cls", fused)
+            return logits_concat, logits_vis, logits_syb
+        fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+        return head("cls", fused)
+
+
+class X4DecModel(nn.Module):
+    """x4_dec: x2-style 1-D-mask staging + 1-token cross-attention decoder,
+    single head (`AttModel_x4_dec.py:200-265`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask_1d, q_ipt, q_mask_1d, q_graph,
+                 syb_ipt, syb_mask_1d, syb_graph, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        q_fea = glove(q_ipt)
+
+        def branch(name, mod_fea, mod_mask, mod_graph, pe_size):
+            b, lm = mod_fea.shape[:2]
+            lq = q_fea.shape[1]
+            q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name=f"{name}_q_mlp")(q_fea)
+            m = mod_fea.astype(dt) + Embedding(
+                pe_size, cfg.hidden_size, zeros_pad=False, scale=False, dtype=dt,
+                name=f"{name}_positional_encoding")(_positions(b, lm))
+            fea = jnp.concatenate([m, q], axis=1)
+            mask_1d = jnp.concatenate(
+                [mod_mask.astype(jnp.float32), q_mask_1d.astype(jnp.float32)], axis=1)
+            stages = _stage_graphs_1d(mod_mask, q_mask_1d, q_graph, mod_graph, "x2")
+            plan = ([None] * cfg.stage1_blocks
+                    + [stages[1]] * (cfg.stage2_blocks - cfg.stage1_blocks)
+                    + [stages[2]] * (cfg.num_blocks - cfg.stage2_blocks))
+            for i, g in enumerate(plan):
+                fea = GraphMaskAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"{name}_enc_self_attention_{i}",
+                )(fea, fea, fea, g, deterministic=deterministic)
+                fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                  dtype=dt, name=f"{name}_enc_feed_forward_{i}")(fea)
+            dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
+                            name=f"{name}_dec_emb")(jnp.ones((b, 1), jnp.int32))
+            for i in range(cfg.num_blocks):
+                dec = GraphMaskAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"{name}_dec_vanilla_attention_{i}",
+                )(dec, fea, fea, None, deterministic=deterministic)
+                dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                  dtype=dt, name=f"{name}_dec_feed_forward_{i}")(dec)
+            return dec[:, 0]
+
+        b, lv = vis_fea.shape[:2]
+        vis_proj = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="v_mlp")(
+            vis_fea.astype(dt))
+        fea_vis = branch("vis", vis_proj, vis_mask_1d, None, cfg.maxlen_v)
+
+        syb_emb = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        syb_fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+            syb_emb(syb_ipt))
+        fea_syb = branch("syb", syb_fea, syb_mask_1d, syb_graph, cfg.maxlen)
+
+        fea = jnp.concatenate([fea_syb, fea_vis], axis=1)
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(fea))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h)
+
+
+class _SelfStack(nn.Module):
+    """Per-modality mask-only self-attention stack (`AttModel_x5_dec_mil.py:16-116`)."""
+
+    cfg: ModelConfig
+    n_blocks: int
+
+    @nn.compact
+    def __call__(self, fea, graph=None, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        for i in range(self.n_blocks):
+            fea = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"enc_self_attention_{i}",
+            )(fea, fea, fea, graph, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+        return fea
+
+
+class _MILAlignJoint(nn.Module):
+    """x5 alignment: joint [vis ++ syb] stack returning per-block attention
+    weights for the margin-rank MIL loss (`AttModel_x5_dec_mil.py:118-149`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, syb_fea, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        fea = jnp.concatenate([vis_fea, syb_fea], axis=1)
+        att_weights = []
+        for i in range(cfg.num_blocks):
+            fea, att = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                return_att=True, name=f"enc_self_attention_{i}",
+            )(fea, fea, fea, None, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+            att_weights.append(att)
+        return fea, att_weights
+
+
+class _VisFeaPath(nn.Module):
+    """v_mlp + PE for the raw 2048-d region features (`x5:30-54`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, lv = vis_fea.shape[:2]
+        v = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="v_mlp")(
+            vis_fea.astype(dt))
+        v = v + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(cfg.maxlen_v, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="v_positional_encoding")(_positions(b, lv)))
+        return v
+
+
+class _SybFeaPath(nn.Module):
+    """syb_emb + 300->2048->h MLP + PE (`x5:68-116`)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, syb_ipt, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, ls = syb_ipt.shape
+        emb = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        s = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(emb(syb_ipt))
+        s = s + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(cfg.maxlen, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="syb_positional_encoding")(_positions(b, ls)))
+        return s
+
+
+class X5DecMil(nn.Module):
+    """x5: self stacks -> joint MIL alignment -> question-token decoder over
+    the fused sequence, masked max-pool, single head
+    (`AttModel_x5_dec_mil.py:151-219`). Returns (logits, att_weights)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask_1d, q_ipt, q_mask_1d, q_graph,
+                 syb_ipt, syb_mask_1d, syb_graph, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b = vis_fea.shape[0]
+        lq = q_ipt.shape[1]
+
+        v = _VisFeaPath(cfg, name="att_vis")(vis_fea, deterministic)
+        fea_vis = _SelfStack(cfg, cfg.num_blocks, name="att_vis_stack")(
+            v, None, deterministic)
+        s = _SybFeaPath(cfg, name="att_syb")(syb_ipt, deterministic)
+        fea_syb = _SelfStack(cfg, cfg.num_blocks, name="att_syb_stack")(
+            s, syb_graph, deterministic)
+
+        fea, att_weights = _MILAlignJoint(cfg, name="MIL_align")(
+            fea_vis, fea_syb, deterministic)
+        mask = jnp.concatenate(
+            [vis_mask_1d.astype(jnp.float32), syb_mask_1d.astype(jnp.float32)], axis=1)
+        fea = fea * mask[..., None].astype(fea.dtype)
+
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        dec = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="q_mlp")(glove(q_ipt))
+        dec = dec + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="q_positional_encoding")(_positions(b, lq)))
+
+        for i in range(cfg.num_blocks):
+            dec = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"dec_vanilla_attention_{i}",
+            )(dec, fea, fea, None, deterministic=deterministic)
+            dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"dec_feed_forward_{i}")(dec)
+
+        dec = dec * q_mask_1d.astype(dec.dtype)[..., None]
+        pooled = jnp.max(dec, axis=1)
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(pooled))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h), att_weights
+
+
+class X7DecMil(nn.Module):
+    """x7: interleaved joint self-attention + vis->syb cross alignment per
+    block, question tokens attend the aligned pair, 1-token decoder over the
+    question (`AttModel_x7_dec_mil.py:146-289`). Returns (logits, att_weights)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask_1d, q_ipt, q_mask_1d, q_graph,
+                 syb_ipt, syb_mask_1d, syb_graph, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b = vis_fea.shape[0]
+        lq = q_ipt.shape[1]
+        lv = vis_fea.shape[1]
+
+        v = _VisFeaPath(cfg, name="att_vis")(vis_fea, deterministic)
+        fea_vis = _SelfStack(cfg, cfg.num_blocks, name="att_vis_stack")(v, None, deterministic)
+        s = _SybFeaPath(cfg, name="att_syb")(syb_ipt, deterministic)
+        fea_syb = _SelfStack(cfg, cfg.num_blocks, name="att_syb_stack")(
+            s, syb_graph, deterministic)
+
+        att_weights = []
+        for i in range(cfg.num_blocks):
+            joint = jnp.concatenate([fea_vis, fea_syb], axis=1)
+            joint = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"align_joint_{i}",
+            )(joint, joint, joint, None, deterministic=deterministic)
+            joint = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                dtype=dt, name=f"align_joint_ffn_{i}")(joint)
+            fea_vis, fea_syb = joint[:, :lv], joint[:, lv:]
+            fea_vis, att = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                return_att=True, name=f"align_cross_{i}",
+            )(fea_vis, fea_syb, fea_syb, None, deterministic=deterministic)
+            fea_vis = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                  dtype=dt, name=f"align_cross_ffn_{i}")(fea_vis)
+            att_weights.append(att)
+
+        fea_vis = fea_vis * vis_mask_1d.astype(fea_vis.dtype)[..., None]
+        fea_syb = fea_syb * syb_mask_1d.astype(fea_syb.dtype)[..., None]
+
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="q_mlp")(glove(q_ipt))
+        q = q + Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                          dtype=dt, name="q_positional_encoding")(_positions(b, lq))
+        q = GraphMaskAttention(num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                               dtype=dt, name="q_self_attention")(
+            q, q, q, None, deterministic=deterministic)
+        q = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                        dtype=dt, name="q_self_feed_forward")(q)
+        q = GraphMaskAttention(num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                               dtype=dt, name="gq_self_attention")(
+            q, q, q, q_graph, deterministic=deterministic)
+        q = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                        dtype=dt, name="gq_self_feed_forward")(q)
+        q = q * q_mask_1d.astype(q.dtype)[..., None]
+
+        fused = jnp.concatenate([fea_vis, fea_syb], axis=1)
+        for i in range(cfg.num_blocks):
+            q = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"enc_self_attention_{i}",
+            )(q, fused, fused, None, deterministic=deterministic)
+            q = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                            dtype=dt, name=f"enc_feed_forward_{i}")(q)
+
+        dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
+                        name="dec_emb")(jnp.ones((b, 1), jnp.int32))
+        for i in range(cfg.num_blocks):
+            dec = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"dec_vanilla_attention_{i}",
+            )(dec, q, q, None, deterministic=deterministic)
+            dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"dec_feed_forward_{i}")(dec)
+
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(dec[:, 0]))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h), att_weights
+
+
+class X6DecMil(nn.Module):
+    """x6: cross alignment vis->syb, super-node substitution of aligned visual
+    rows into the symbolic sequence via idx_of_obj, then two staged
+    (syb++q)/(sybvis++q) encoders each with a 1-token decoder, concat head
+    (`AttModel_x6_dec_mil.py:118-322`). Returns (logits, att_weights)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask_1d, q_ipt, q_mask_1d, q_graph,
+                 syb_ipt, syb_mask_1d, syb_graph, idx_of_obj,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b = vis_fea.shape[0]
+        lq = q_ipt.shape[1]
+        ls = syb_ipt.shape[1]
+
+        v = _VisFeaPath(cfg, name="att_vis")(vis_fea, deterministic)
+        fea_vis = _SelfStack(cfg, cfg.num_blocks, name="att_vis_stack")(v, None, deterministic)
+        s = _SybFeaPath(cfg, name="att_syb")(syb_ipt, deterministic)
+        fea_syb = _SelfStack(cfg, cfg.num_blocks, name="att_syb_stack")(
+            s, syb_graph, deterministic)
+
+        # cross alignment: vis queries attend symbolic keys; last block's
+        # attention feeds the MIL loss (`x6:136-146`)
+        att_weights = []
+        fv = fea_vis
+        for i in range(cfg.num_blocks):
+            fv, att = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                return_att=True, name=f"align_cross_{i}",
+            )(fv, fea_syb, fea_syb, None, deterministic=deterministic)
+            fv = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                             dtype=dt, name=f"align_cross_ffn_{i}")(fv)
+            att_weights.append(att)
+        att_weights = [att_weights[-1]]
+        fv = fv * vis_mask_1d.astype(fv.dtype)[..., None]
+
+        # substitute aligned visual rows into the symbolic sequence at the
+        # object super-node rows (`x6:243-246`), scatter with -1 padding
+        bi = jnp.arange(b)[:, None]
+        safe = jnp.where(idx_of_obj >= 0, idx_of_obj, ls)
+        n_obj = idx_of_obj.shape[1]
+        fea_syb_vis = fea_syb.at[bi, safe].set(fv[:, :n_obj], mode="drop")
+
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="q_mlp")(glove(q_ipt))
+        q = q + Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                          dtype=dt, name="q_positional_encoding")(_positions(b, lq))
+        q = GraphMaskAttention(num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                               dtype=dt, name="q_self_attention")(
+            q, q, q, None, deterministic=deterministic)
+        q = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                        dtype=dt, name="q_self_feed_forward")(q)
+        q = q * q_mask_1d.astype(q.dtype)[..., None]
+
+        stages = _stage_graphs_1d(syb_mask_1d, q_mask_1d, q_graph, syb_graph, "x2")
+        # x6 builds graph_diag from mask *rows* for both blocks (`x6:296-299`)
+        plan = ([stages[0]] * cfg.stage1_blocks
+                + [stages[1]] * (cfg.stage2_blocks - cfg.stage1_blocks)
+                + [stages[2]] * (cfg.num_blocks - cfg.stage2_blocks))
+
+        def staged_branch(name, seq):
+            fea = jnp.concatenate([seq, q], axis=1)
+            for i, g in enumerate(plan):
+                fea = GraphMaskAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"{name}_enc_self_attention_{i}",
+                )(fea, fea, fea, g, deterministic=deterministic)
+                fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                  dtype=dt, name=f"{name}_enc_feed_forward_{i}")(fea)
+            dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
+                            name=f"{name}_dec_emb")(jnp.ones((b, 1), jnp.int32))
+            for i in range(cfg.num_blocks):
+                dec = GraphMaskAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"{name}_dec_vanilla_attention_{i}",
+                )(dec, fea, fea, None, deterministic=deterministic)
+                dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                                  dtype=dt, name=f"{name}_dec_feed_forward_{i}")(dec)
+            return dec[:, 0]
+
+        dec_vq = staged_branch("vq", fea_syb_vis)
+        dec_sq = staged_branch("sq", fea_syb)
+        fused = jnp.concatenate([dec_vq, dec_sq], axis=1)
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(fused))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h), att_weights
+
+
+# ---- registry: reference model name -> (class, kwargs) --------------------------
+
+VARIANTS = {
+    "x": (MaxPoolDualEncoder, {"stage_style": "x"}),
+    "x2": (MaxPoolDualEncoder, {"stage_style": "x2"}),
+    "x2_pre": (MaxPoolDualEncoder, {"stage_style": "x2"}),
+    "x2_distill": (MaxPoolDualEncoder, {"stage_style": "x2"}),
+    "x2_dec": (X2DecModel, {"heads": "single"}),
+    "x2_dec_ori": (X2DecModel, {"heads": "single"}),
+    "x2_mlp_dec": (X2DecModel, {"heads": "single"}),
+    "x2_syb_dec": (X2DecModel, {"heads": "single"}),
+    "x2_fusion_dec": (X2DecModel, {"heads": "triple"}),
+    "x2_fusion_dec_relatt": (X2DecModel, {"heads": "triple"}),
+    "x3_ori": (X2DecModel, {"heads": "triple"}),
+    "x4_dec": (X4DecModel, {}),
+    "x5_dec_mil": (X5DecMil, {}),
+    "x6_dec_mil": (X6DecMil, {}),
+    "x7_dec_mil": (X7DecMil, {}),
+}
+
+
+def build_variant(name: str, cfg: ModelConfig) -> nn.Module:
+    """Instantiate an ablation model by its reference name (e.g. 'x2_dec')."""
+    if name in ("x3", "v3"):
+        from structured_alignment_vqa_tpu.models.att_model_x3 import AttModelX3
+
+        return AttModelX3(cfg)
+    cls, kw = VARIANTS[name]
+    return cls(cfg, **kw)

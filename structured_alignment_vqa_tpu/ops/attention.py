@@ -239,9 +239,12 @@ class GraphMaskAttention(_AttentionBase):
 
     The reference signature takes a ``key_mask_ipt`` argument that its body
     never reads (the key mask is always content-derived, `modules.py:354`);
-    we drop the dead argument.
+    we drop the dead argument. ``graph=None`` skips the multiply but keeps the
+    sum renorm — the reference's ablation variants call this path
+    (`transformers/AttModel_x.py:81` etc.) although its shipped body crashes
+    on None (`modules.py:375`); this is the evident intended semantics.
     """
 
     @nn.compact
-    def __call__(self, queries, keys, values, graph, deterministic: bool = True):
+    def __call__(self, queries, keys, values, graph=None, deterministic: bool = True):
         return self._run(queries, keys, values, graph=graph, renorm="sum_eps", deterministic=deterministic)
