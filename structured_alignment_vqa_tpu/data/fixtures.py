@@ -99,15 +99,32 @@ def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: in
             attrs_id = [int(rng.integers(0, len(ATTRS))) for _ in range(n_obj)]
             info = {"objects_id": objects_id, "attrs_id": attrs_id}
 
+            # full GT record: the GT-graph loaders also need x/y/w/h,
+            # attributes, relations, and image dims (`data_loader_itp_gt.py:112-129`)
+            obj_keys = [f"o{k}" for k in range(n_obj)]
             scene_graphs[image_id] = {
+                "width": w,
+                "height": h,
                 "objects": {
-                    f"o{k}": {"name": obj_names[k]} for k in range(n_obj)
-                }
+                    obj_keys[k]: {
+                        "name": obj_names[k],
+                        "x": float(bbox[k][0]),
+                        "y": float(bbox[k][1]),
+                        "w": float(bbox[k][2] - bbox[k][0]),
+                        "h": float(bbox[k][3] - bbox[k][1]),
+                        "attributes": [ATTRS[attrs_id[k]]] if rng.random() > 0.2 else [],
+                        "relations": [
+                            {"object": obj_keys[int(t)], "name": list(RELATIONS.values())[int(rng.integers(0, 5))]}
+                            for t in rng.integers(0, n_obj, size=int(rng.integers(0, 2)))
+                        ],
+                    }
+                    for k in range(n_obj)
+                },
             }
             _add_bytes(
                 tar, f"{image_id}.npz",
                 _npz_bytes(
-                    x=fea, bbox=bbox, image_w=np.float64(w), image_h=np.float64(h),
+                    x=fea, fea=fea, bbox=bbox, image_w=np.float64(w), image_h=np.float64(h),
                     info=np.asarray(info, dtype=object),
                 ),
             )
