@@ -125,6 +125,30 @@ class GloVeEmbed(nn.Module):
         return jnp.take(table, ids, axis=0).astype(self.dtype)
 
 
+class _EncBlock(nn.Module):
+    """One encoder block: graph-guided attention + FFN. Split out so
+    ``ModelConfig.remat_blocks`` can wrap it in jax.checkpoint (recompute
+    activations in backward — required headroom for the obj+rel maxlen-1600
+    configuration)."""
+
+    cfg: ModelConfig
+    idx: int
+
+    @nn.compact
+    def __call__(self, fea, graph, deterministic: bool = True):
+        cfg = self.cfg
+        fea = GraphGuidedAttention(
+            num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+            dropout_rate=0.0, dtype=cfg.compute_dtype,
+            name=f"enc_self_attention_{self.idx}",
+            use_pallas=cfg.use_pallas_attention,
+        )(fea, fea, fea, graph, deterministic=deterministic)
+        return FeedForward(
+            cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+            dtype=cfg.compute_dtype, name=f"enc_feed_forward_{self.idx}",
+        )(fea)
+
+
 class _EncoderDecoder(nn.Module):
     """Shared dual-branch encoder/decoder body.
 
@@ -179,18 +203,9 @@ class _EncoderDecoder(nn.Module):
             distinct_cross_stage=cfg.distinct_cross_stage,
         )
 
-        def make_block(i):
-            att = GraphGuidedAttention(
-                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
-                dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}",
-                use_pallas=cfg.use_pallas_attention,
-            )
-            ffn = FeedForward(
-                cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
-                dtype=dt, name=f"enc_feed_forward_{i}",
-            )
-            return att, ffn
-
+        block_cls = (
+            nn.remat(_EncBlock, static_argnums=(3,)) if cfg.remat_blocks else _EncBlock
+        )
         for i in range(cfg.num_blocks):
             if i < cfg.stage1_blocks:
                 g = graph_diag
@@ -198,9 +213,7 @@ class _EncoderDecoder(nn.Module):
                 g = graph_cross
             else:
                 g = graph
-            att, ffn = make_block(i)
-            fea = att(fea, fea, fea, g, deterministic=deterministic)
-            fea = ffn(fea)
+            fea = block_cls(cfg, i, name=f"block_{i}")(fea, g, deterministic)
 
         # 1-token decoder, BOS id 2 (`AttModel_x3.py:141-156`).
         dec_ids = jnp.full((b, 1), BOS_ID, jnp.int32)

@@ -163,8 +163,21 @@ def make_eval_step(model, cfg: ModelConfig, with_milnce: bool = True, smooth_eps
 
 
 def put_batch(batch: VQABatch, mesh) -> VQABatch:
-    """Device-put a batch with its leading dim sharded over the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a batch with its leading dim sharded over the data axis.
+
+    Single-process: a plain device_put. Multi-host: each process holds its
+    local shard (the loader already strides samples by process, replacing
+    ``DistributedSampler``), and the global array is assembled per-leaf.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def adam(lr: float = 1e-4) -> optax.GradientTransformation:
