@@ -42,7 +42,11 @@ def main() -> None:
     model = AttModelX3(cfg)
 
     batch_size = 128
-    batch = synthetic_batch(cfg, batch=batch_size, lv=36, lq=30, ls=128, seed=0)
+    # ls=98: typical GQA obj-only macro graph (~2-3 nodes per object, 36
+    # objects) AND lane-aligned — the symbolic encoder length 98+30=128 hits
+    # the TPU tile boundary exactly, as the production bucketing enforces
+    # (`data/dataset.py:default_buckets`).
+    batch = synthetic_batch(cfg, batch=batch_size, lv=36, lq=30, ls=98, seed=0)
     params = jax.jit(model.init)(jax.random.key(0), batch)
 
     @jax.jit
