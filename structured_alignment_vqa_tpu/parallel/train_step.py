@@ -94,8 +94,14 @@ def make_train_step(
     cfg: ModelConfig,
     with_milnce: bool = True,
     smooth_eps: float = 0.1,
+    skip_nonfinite: bool = True,
 ) -> Callable:
-    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``."""
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
+
+    ``skip_nonfinite``: when a step produces any non-finite gradient the
+    update is dropped (params/opt state unchanged) and ``metrics['skipped']``
+    is 1 — failure containment the reference lacks entirely (SURVEY.md section 5.3;
+    its only guard was `torch.autograd.set_detect_anomaly`, a debugger)."""
 
     def step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -124,6 +130,20 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        if skip_nonfinite:
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+            ))
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_params, state.params
+            )
+            new_opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old) if hasattr(new, "dtype") else new,
+                new_opt_state, state.opt_state,
+            )
+            metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )
