@@ -54,6 +54,7 @@ class NodeGraphConfig(DataConfig):
     pos_grid_num: int = 10
     label_noise_rate: float = 0.0        # dataAug
     emit_idx_of_obj: bool = False
+    emit_visrel: bool = False            # vis-branch symbolic graph (visGraph)
     # parity quirk switches (True = replicate the reference)
     gt_off_by_one: bool = True
     center_grid_floor_bug: bool = True
@@ -70,6 +71,11 @@ class NodeSample:
     q_edges: List
     answer: int
     idx_of_obj: Optional[np.ndarray] = None
+    # visGraph path (`data_loader_itp_bbox.py:114-220` convert_graph_visrel):
+    vis_node_ids: Optional[np.ndarray] = None    # vis-branch symbolic nodes
+    vis_edges: Optional[List[Tuple[int, int]]] = None
+    syb2vis: Optional[np.ndarray] = None         # (N, 2) [vis_node_row, region]
+    valid2all: Optional[np.ndarray] = None       # valid-object -> region row
 
 
 class NodeGraphDataset(GQASuperNodeDataset):
@@ -266,6 +272,90 @@ class NodeGraphDataset(GQASuperNodeDataset):
                 edges.append([idx_obj[i], pos_rel])
                 edges.append([pos_rel, idx_obj[j]])
 
+    def _nodes_visrel(self, data_info, bbox):
+        """Vis-branch symbolic graph (`data_loader_itp_bbox.py:114-220`):
+        one node per region (``__background__`` for invalid detections),
+        shared attr/position/top-1-relation nodes with the spatial correction,
+        background nodes fully connected; returns (nodes, edges, syb2vis,
+        valid2all)."""
+        classes = self.builder._stripped_classes
+        attrs = [a.replace(" ", "") for a in self.builder.vg_attrs]
+        ids = np.asarray(data_info["objects_id"])
+        if ids.ndim > 1:  # topN detections: use the top-1 column
+            ids = ids[:, 0]
+        obj_names, attr_names, valid2all = [], [], []
+        for row_idx, (oid, aid) in enumerate(zip(ids, data_info["attrs_id"])):
+            if oid >= len(classes):
+                obj_names.append("__background__")
+                attr_names.append("__background_attr__")
+                continue
+            valid2all.append(row_idx)
+            obj_names.append(classes[oid])
+            attr_names.append(attrs[aid])
+
+        nodes: List[str] = []
+        edges: List = []
+        idx_obj: List[int] = []
+        syb2vis: List[List[int]] = []
+        attr2idx: Dict[str, int] = {}
+        pos2idx: Dict[str, int] = {}
+        rel2pos: Dict[str, int] = {}
+        n = len(obj_names)
+        for i in range(n):
+            pos_obj = len(nodes)
+            syb2vis.append([pos_obj, i])
+            nodes.append(obj_names[i])
+            if attr_names[i] != "__background_attr__":
+                if attr_names[i] in attr2idx:
+                    pa = attr2idx[attr_names[i]]
+                else:
+                    pa = len(nodes)
+                    attr2idx[attr_names[i]] = pa
+                    nodes.append(attr_names[i])
+                edges.append([pos_obj, pa])
+                edges.append([pa, pos_obj])
+            idx_obj.append(pos_obj)
+            if self.ncfg.position_nodes == "bbox_corners" and i < len(bbox):
+                for cx, cy in ((0, 1), (2, 3)):
+                    name = f"x{int(bbox[i][cx])}y{int(bbox[i][cy])}"
+                    if name in pos2idx:
+                        pp = pos2idx[name]
+                    else:
+                        pp = len(nodes)
+                        pos2idx[name] = pp
+                        nodes.append(name)
+                    edges.append([pos_obj, pp])
+                    edges.append([pp, pos_obj])
+
+        from structured_alignment_vqa_tpu.data.graph_builder import _spatial_correct
+
+        gtr = self.builder.gt_relations
+        for i in range(n):
+            for j in range(n):
+                key = f"{obj_names[i]},{obj_names[j]}"
+                if key not in gtr:
+                    continue
+                r_name = gtr[key].replace(" ", "")
+                if r_name in rel2pos:
+                    pos_rel = rel2pos[r_name]
+                else:
+                    pos_rel = len(nodes)
+                    rel2pos[r_name] = pos_rel
+                    r = "".join(r_name.split())
+                    if i < len(bbox) and j < len(bbox):
+                        r = _spatial_correct(r, bbox, i, j)
+                    nodes.append(r)
+                edges.append([idx_obj[i], pos_rel])
+                edges.append([pos_rel, idx_obj[j]])
+
+        # background regions attend everything (`itp_bbox:214-219`)
+        for rid, name in enumerate(obj_names):
+            if name == "__background__":
+                for i in range(n):
+                    edges.append([rid, i])
+                    edges.append([i, rid])
+        return nodes, edges, syb2vis, valid2all
+
     # -- sample assembly ----------------------------------------------------------
 
     def _sample(self, index: int) -> Optional[NodeSample]:
@@ -302,7 +392,7 @@ class NodeGraphDataset(GQASuperNodeDataset):
         if cfg.emit_idx_of_obj:
             idx_of_obj = np.asarray(idx_obj, dtype=np.int64)
 
-        return NodeSample(
+        sample = NodeSample(
             vis_fea=vis_fea,
             node_ids=node_ids,
             edges=[tuple(e) for e in edges],
@@ -311,6 +401,17 @@ class NodeGraphDataset(GQASuperNodeDataset):
             answer=int(answer),
             idx_of_obj=idx_of_obj,
         )
+        if cfg.emit_visrel:
+            g_npz2 = self.g_tar.read_npz(image_id, allow_pickle=True)
+            bbox2 = quantize_bbox(
+                g_npz2["bbox"], g_npz2["image_w"], g_npz2["image_h"], cfg.bbox_bin_num
+            )
+            vn, ve, s2v, v2a = self._nodes_visrel(g_npz2["info"].tolist(), bbox2)
+            sample.vis_node_ids = np.asarray([self._tok(x) for x in vn], dtype=np.int64)
+            sample.vis_edges = [tuple(e) for e in ve]
+            sample.syb2vis = np.asarray(s2v, dtype=np.int64).reshape(-1, 2)
+            sample.valid2all = np.asarray(v2a, dtype=np.int64)
+        return sample
 
 
 def collate_node_graph(samples: Sequence[Optional[NodeSample]], lv: int, ls: int, lq: int):
@@ -378,6 +479,9 @@ def config_for_variant(variant: str, data_dir: str, **kw) -> NodeGraphConfig:
                            position_nodes="bbox_corners", emit_idx_of_obj=True),
         "itp_bbox_aug": dict(node_source="pred_node", relation_source="freq_dict",
                              position_nodes="bbox_corners", label_noise_rate=0.5),
+        "itp_bbox_visrel": dict(node_source="pred_node", relation_source="freq_dict",
+                                position_nodes="bbox_corners",
+                                emit_idx_of_obj=True, emit_visrel=True),
     }
     base = presets[variant]
     base.update(kw)

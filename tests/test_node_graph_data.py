@@ -51,6 +51,30 @@ def test_variant_produces_samples(fixture_dir, variant):
     assert ok >= len(ds) // 2, f"{variant}: only {ok}/{len(ds)} samples"
 
 
+def test_visrel_graph(fixture_dir):
+    """visGraph path: vis-branch symbolic nodes with syb2vis/valid2all."""
+    ds = make_ds(fixture_dir, "itp_bbox_visrel")
+    s = next(s for s in (ds.sample(i) for i in range(len(ds))) if s is not None)
+    assert s.vis_node_ids is not None and len(s.vis_node_ids)
+    assert s.syb2vis.shape[1] == 2
+    # one vis node per region, mapped in order
+    assert (s.syb2vis[:, 1] == np.arange(len(s.syb2vis))).all()
+    for a, b in s.vis_edges:
+        assert 0 <= a < len(s.vis_node_ids) + 1
+
+
+def test_visrel_background_nodes(fixture_dir):
+    """Out-of-range detections become __background__ nodes connected to all."""
+    ds = make_ds(fixture_dir, "itp_bbox_visrel")
+    data_info = {"objects_id": [[999], [0], [1]], "attrs_id": [0, 1, 0]}
+    bbox = np.array([[1, 2, 3, 4]] * 3, np.int32)
+    nodes, edges, syb2vis, valid2all = ds._nodes_visrel(data_info, bbox)
+    assert nodes[0] == "__background__"
+    assert valid2all == [1, 2]  # region 0 invalid
+    # background row 0 connected to every region node row
+    assert [0, 1] in [list(e) for e in edges] and [2, 0] in [list(e) for e in edges]
+
+
 def test_idx_of_obj_emitted(fixture_dir):
     ds = make_ds(fixture_dir, "itp_bbox_q")
     s = next(s for s in (ds.sample(i) for i in range(len(ds))) if s is not None)
