@@ -171,6 +171,32 @@ class _AttentionBase(nn.Module):
         return LayerNorm(self.num_units, name="ln")(out)
 
     def _run(self, queries, keys, values, graph, renorm, deterministic):
+        # Single-token self-attention (the 1-token decoder's self-attention,
+        # `AttModel_x3.py:150`): softmax over one key is identically 1, so the
+        # whole attention reduces to ``query_mask * V(x)`` — the Q/K
+        # projections and the score matmul are dead compute. Exact under every
+        # mask/renorm combination that can occur at T=1: the key-mask fill is
+        # erased by the 1-element softmax, an L1/sum renorm of a single
+        # positive value is (near-)identity only when graph==1, so the fast
+        # path is restricted to graph-free calls.
+        if (
+            queries.shape[1] == 1
+            and keys.shape[1] == 1
+            and graph is None
+            and renorm is None
+            and (self.dropout_rate == 0.0 or deterministic)
+        ):
+            # q/k projections still run (params must exist and match the
+            # general path's tree); only the score/softmax/mask chain is
+            # elided. At (B, 1, C) they are a rounding error in FLOPs.
+            q, k, v = self._project(queries, keys, values)
+            qm = content_mask(queries)[..., None]
+            out = self._finish(v * qm.astype(v.dtype), queries)
+            if self.return_att:
+                att = jnp.ones((queries.shape[0], self.num_heads, 1, 1), jnp.float32)
+                return out, att
+            return out
+
         q, k, v = self._project(queries, keys, values)
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
