@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE, LayerNorm
+from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE, LayerNorm, layer_norm
 
 # F.normalize(p=1) clamps the norm at 1e-12 (`modules.py:285`).
 L1_NORM_EPS = 1e-12
@@ -149,6 +149,18 @@ def attention_core(
     return _merge_heads(out).astype(q.dtype), att_weights
 
 
+class _LNParams(nn.Module):
+    """Bare gamma/beta parameters (tree-compatible with :class:`LayerNorm`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
+        return gamma, beta
+
+
 class _AttentionBase(nn.Module):
     """Shared parameter layout: ReLU'd Q/K/V Dense projections + post-LN."""
 
@@ -166,9 +178,14 @@ class _AttentionBase(nn.Module):
         v = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="v_proj")(values))
         return q, k, v
 
+    def _ln_params(self):
+        """LN params at the same tree location LayerNorm('ln') would use, so
+        the fused-epilogue Pallas path and the composite path share weights."""
+        return _LNParams(self.num_units, name="ln")()
+
     def _finish(self, out, queries):
-        out = out + queries
-        return LayerNorm(self.num_units, name="ln")(out)
+        gamma, beta = self._ln_params()
+        return layer_norm(out + queries, gamma, beta)
 
     def _run(self, queries, keys, values, graph, renorm, deterministic):
         # Single-token self-attention (the 1-token decoder's self-attention,
@@ -214,15 +231,15 @@ class _AttentionBase(nn.Module):
             and queries.shape == keys.shape
         ):
             from structured_alignment_vqa_tpu.ops.pallas_attention import (
-                fused_graph_attention,
+                fused_graph_attention_ln,
             )
 
-            out = fused_graph_attention(
+            gamma, beta = self._ln_params()
+            return fused_graph_attention_ln(
                 q, k, v,
                 content_mask(keys), content_mask(queries),
-                graph, self.num_heads, renorm,
+                graph, queries, gamma, beta, self.num_heads, renorm,
             )
-            return self._finish(out, queries)
 
         out, att = attention_core(
             q,

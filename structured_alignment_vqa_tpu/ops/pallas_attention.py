@@ -40,7 +40,9 @@ LANE = 128
 INTERPRET_MODE = False
 
 
-def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref, *, num_heads: int, renorm: str):
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, res_ref,
+            gamma_ref, beta_ref, out_ref, *, num_heads: int, renorm: str,
+            fuse_ln: bool):
     """One batch element: all heads, fused, VMEM-resident.
 
     Processing every head in one program amortizes the (L, L) graph load
@@ -60,6 +62,7 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref, *, nu
     key_fill = km == 0.0                  # (1, L), broadcasts over query rows
     qcol = qm.reshape(-1, 1)
 
+    head_outs = []
     for h in range(num_heads):            # static unroll; channel-chunk heads
         sl = slice(h * dh, (h + 1) * dh)
         scores = jax.lax.dot_general(
@@ -79,7 +82,22 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref, *, nu
             att.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[0, :, sl] = out.astype(out_ref.dtype)
+        head_outs.append(out)
+    acc = jnp.concatenate(head_outs, axis=-1)
+
+    if fuse_ln:
+        # residual + the reference LayerNorm (eps on std, unbiased variance —
+        # `modules.py:62-65`), fused so the attention output never round-trips
+        # to HBM before normalization
+        x = acc + res_ref[0].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(c - 1, 1)
+        nonzero = var > 0.0
+        std = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, var, 1.0)), 0.0)
+        x = gamma_ref[0] * (x - mean) / (std + 1e-8) + beta_ref[0]
+        out_ref[0] = x.astype(out_ref.dtype)
+    else:
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, size: int) -> jax.Array:
@@ -91,10 +109,16 @@ def _pad_to(x: jax.Array, axis: int, size: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str):
-    """q/k/v: (B, L, C); key/query_mask: (B, L); graph: (B, L, L) -> (B, L, C)."""
+def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str,
+                   residual=None, gamma=None, beta=None):
+    """q/k/v: (B, L, C); key/query_mask: (B, L); graph: (B, L, L) -> (B, L, C).
+
+    When ``residual``/``gamma``/``beta`` are given, the residual add and
+    reference LayerNorm are fused into the kernel epilogue.
+    """
     b, l, c = q.shape
     lp = ((l + LANE - 1) // LANE) * LANE
+    fuse_ln = residual is not None
 
     qp = _pad_to(q, 1, lp)
     kp = _pad_to(k, 1, lp)
@@ -102,8 +126,12 @@ def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
     km = _pad_to(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lp)
     qm = _pad_to(query_mask.astype(jnp.float32).reshape(b, 1, l), 2, lp)
     g = _pad_to(_pad_to(graph.astype(jnp.float32), 1, lp), 2, lp)
+    res = _pad_to(residual, 1, lp) if fuse_ln else jnp.zeros((b, 1, c), q.dtype)
+    res_l = lp if fuse_ln else 1
+    gam = (gamma if fuse_ln else jnp.ones((c,), jnp.float32)).reshape(1, c)
+    bet = (beta if fuse_ln else jnp.zeros((c,), jnp.float32)).reshape(1, c)
 
-    kernel = functools.partial(_kernel, num_heads=num_heads, renorm=renorm)
+    kernel = functools.partial(_kernel, num_heads=num_heads, renorm=renorm, fuse_ln=fuse_ln)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -114,6 +142,9 @@ def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
             pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lp, lp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, res_l, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, lp, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lp, c), q.dtype),
@@ -123,7 +154,7 @@ def _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
             transcendentals=b * num_heads * lp * lp,
         ),
         interpret=INTERPRET_MODE,
-    )(qp, kp, vp, km, qm, g)
+    )(qp, kp, vp, km, qm, g, res, gam, bet)
 
     return out[:, :l, :]
 
@@ -161,3 +192,42 @@ def _fga_bwd(num_heads, renorm, res, g):
 
 
 fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)
+
+
+def _composite_ln(q, k, v, key_mask, query_mask, graph, residual, gamma, beta,
+                  num_heads, renorm):
+    from structured_alignment_vqa_tpu.ops.layers import layer_norm
+
+    out = _composite(q, k, v, key_mask, query_mask, graph, num_heads, renorm)
+    return layer_norm(out + residual, gamma, beta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_graph_attention_ln(q, k, v, key_mask, query_mask, graph, residual,
+                             gamma, beta, num_heads: int, renorm: str = "l1"):
+    """Fused attention + residual + reference LayerNorm epilogue."""
+    return _fused_forward(q, k, v, key_mask, query_mask, graph, num_heads, renorm,
+                          residual=residual, gamma=gamma, beta=beta)
+
+
+def _fgal_fwd(q, k, v, key_mask, query_mask, graph, residual, gamma, beta,
+              num_heads, renorm):
+    out = fused_graph_attention_ln(
+        q, k, v, key_mask, query_mask, graph, residual, gamma, beta, num_heads, renorm
+    )
+    return out, (q, k, v, key_mask, query_mask, graph, residual, gamma, beta)
+
+
+def _fgal_bwd(num_heads, renorm, res, g):
+    q, k, v, key_mask, query_mask, graph, residual, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, r_, ga_, be_: _composite_ln(
+            q_, k_, v_, key_mask, query_mask, graph, r_, ga_, be_, num_heads, renorm
+        ),
+        q, k, v, residual, gamma, beta,
+    )
+    dq, dk, dv, dr, dga, dbe = vjp(g)
+    return dq, dk, dv, None, None, None, dr, dga, dbe
+
+
+fused_graph_attention_ln.defvjp(_fgal_fwd, _fgal_bwd)
