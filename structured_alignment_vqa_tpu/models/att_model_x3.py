@@ -146,6 +146,7 @@ class _EncBlock(nn.Module):
         return FeedForward(
             cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
             dtype=cfg.compute_dtype, name=f"enc_feed_forward_{self.idx}",
+            use_pallas=cfg.use_pallas_attention,
         )(fea)
 
 

@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE, LayerNorm, layer_norm
+from structured_alignment_vqa_tpu.ops.layers import (
+    NEG_MASK_VALUE,
+    LayerNorm,
+    LNParams,
+    layer_norm,
+)
 
 # F.normalize(p=1) clamps the norm at 1e-12 (`modules.py:285`).
 L1_NORM_EPS = 1e-12
@@ -149,18 +154,6 @@ def attention_core(
     return _merge_heads(out).astype(q.dtype), att_weights
 
 
-class _LNParams(nn.Module):
-    """Bare gamma/beta parameters (tree-compatible with :class:`LayerNorm`)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        gamma = self.param("gamma", nn.initializers.ones, (self.features,), jnp.float32)
-        beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
-        return gamma, beta
-
-
 class _AttentionBase(nn.Module):
     """Shared parameter layout: ReLU'd Q/K/V Dense projections + post-LN."""
 
@@ -181,7 +174,7 @@ class _AttentionBase(nn.Module):
     def _ln_params(self):
         """LN params at the same tree location LayerNorm('ln') would use, so
         the fused-epilogue Pallas path and the composite path share weights."""
-        return _LNParams(self.num_units, name="ln")()
+        return LNParams(self.num_units, name="ln")()
 
     def _finish(self, out, queries):
         gamma, beta = self._ln_params()

@@ -92,24 +92,65 @@ class LayerNorm(nn.Module):
         return layer_norm(x, gamma, beta, self.epsilon)
 
 
+class LNParams(nn.Module):
+    """Bare gamma/beta parameters (tree-compatible with :class:`LayerNorm`)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
+        return gamma, beta
+
+
+class _DenseParams(nn.Module):
+    """Bare Dense parameters (tree-compatible with ``nn.Dense``)."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.fin, self.fout), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
+        return kernel, bias
+
+
 class FeedForward(nn.Module):
     """Position-wise FFN with residual + post-LN (`modules.py:405-447`).
 
     ``Linear(in, units[0]) + ReLU -> Linear(units[0], units[1])`` then residual
     add and LayerNorm. ``units`` defaults to ``[4*d, d]`` at call sites.
+    ``use_pallas`` routes sequence inputs through the fused VMEM-resident
+    kernel (`ops/pallas_ffn.py`) so the (B, L, 4d) hidden never hits HBM.
     """
 
     in_features: int
     hidden_units: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.hidden_units[0], dtype=self.dtype, name="fc1")(x)
-        h = jax.nn.relu(h)
-        h = nn.Dense(self.hidden_units[1], dtype=self.dtype, name="fc2")(h)
-        h = h + x
-        return LayerNorm(self.in_features, name="ln")(h)
+        k1, b1 = _DenseParams(self.in_features, self.hidden_units[0], name="fc1")()
+        k2, b2 = _DenseParams(self.hidden_units[0], self.hidden_units[1], name="fc2")()
+        gamma, beta = LNParams(self.in_features, name="ln")()
+
+        if self.use_pallas and x.ndim == 3 and x.shape[1] > 8:
+            from structured_alignment_vqa_tpu.ops.pallas_ffn import fused_ffn
+
+            dt = self.dtype
+            return fused_ffn(
+                x.astype(dt), k1.astype(dt), b1.astype(dt),
+                k2.astype(dt), b2.astype(dt), gamma, beta,
+            )
+
+        h = jax.nn.relu(jnp.matmul(x.astype(self.dtype), k1.astype(self.dtype)) + b1.astype(self.dtype))
+        h = jnp.matmul(h, k2.astype(self.dtype)) + b2.astype(self.dtype)
+        return layer_norm(h + x, gamma, beta)
 
 
 class Embedding(nn.Module):

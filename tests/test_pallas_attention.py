@@ -68,6 +68,42 @@ def test_gradients_match_composite(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_fused_ffn_matches_composite(rng):
+    from structured_alignment_vqa_tpu.ops.pallas_ffn import fused_ffn, _composite
+
+    b, l, c, h = 2, 9, 16, 64
+    x = jnp.asarray(rng.standard_normal((b, l, c)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, h)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((h,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((h, c)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+    got = fused_ffn(x, w1, b1, w2, b2, gamma, beta)
+    want = _composite(x, w1, b1, w2, b2, gamma, beta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # gradients via the composite backward
+    f = lambda *a: jnp.sum(fused_ffn(*a) ** 2)
+    g = lambda *a: jnp.sum(_composite(*a) ** 2)
+    ga = jax.grad(f, argnums=(0, 1, 4))(x, w1, b1, w2, b2, gamma, beta)
+    gb = jax.grad(g, argnums=(0, 1, 4))(x, w1, b1, w2, b2, gamma, beta)
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_ffn_module_pallas_parity(rng):
+    from structured_alignment_vqa_tpu.ops.layers import FeedForward
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    m1 = FeedForward(16, (64, 16), use_pallas=True)
+    m2 = FeedForward(16, (64, 16), use_pallas=False)
+    p = m1.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(p, x)), np.asarray(m2.apply(p, x)), atol=1e-5
+    )
+
+
 def test_module_uses_pallas_path(rng):
     """GraphGuidedAttention(use_pallas=True) must agree with the composite."""
     from structured_alignment_vqa_tpu.ops.attention import GraphGuidedAttention
