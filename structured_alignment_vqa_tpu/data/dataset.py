@@ -73,6 +73,9 @@ class DataConfig:
     # sample via its bare except, `...onlyobj.py:330-334`); 'pad' keeps the
     # sample with PAD-filled candidate slots.
     ragged_candidates: str = "drop"
+    # per-image feature/graph cache entries (GQA averages ~10 questions per
+    # image; npz parsing dominates the per-sample cost otherwise)
+    image_cache_size: int = 512
 
 
 @dataclasses.dataclass
@@ -128,6 +131,20 @@ class GQASuperNodeDataset:
         )
         self.word_converter = word_converter()
 
+        import functools
+
+        @functools.lru_cache(maxsize=max(cfg.image_cache_size, 1))
+        def _load_image(image_id: str):
+            vis_fea = np.asarray(self.fea_tar.read_npz(image_id)["x"], dtype=np.float32)
+            g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
+            bbox = quantize_bbox(
+                g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num
+            )
+            data_info = g_npz["info"].tolist()
+            return vis_fea, bbox, data_info
+
+        self._load_image = _load_image
+
     def __len__(self) -> int:
         return len(self.questions)
 
@@ -167,13 +184,7 @@ class GQASuperNodeDataset:
         image_id = qinfo["image_id"]
 
         gt_graph = self.gt_graph[image_id]
-        vis_fea = np.asarray(self.fea_tar.read_npz(image_id)["x"], dtype=np.float32)
-
-        g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
-        bbox = quantize_bbox(
-            g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num
-        )
-        data_info = g_npz["info"].tolist()
+        vis_fea, bbox, data_info = self._load_image(image_id)
 
         rng = np.random.default_rng((cfg.seed, index))
         graph = self.builder.convert(data_info, bbox, gt_graph, rng)
@@ -287,10 +298,11 @@ def collate(
     """Pad samples to ``shape``; None / oversized samples become invalid rows.
 
     Field-for-field equivalent of the reference collate
-    (`...onlyobj.py:341-445`) at a fixed target shape.
+    (`...onlyobj.py:341-445`) at a fixed target shape. Emits **numpy** leaves:
+    device placement is the trainer's job (`parallel.put_batch`), not the
+    loader's — collate-time device_puts would serialize host threads behind
+    the transfer stream.
     """
-    import jax.numpy as jnp
-
     b = len(samples)
     lv, ls, lq, n_rel = shape.lv, shape.ls, shape.lq, max(shape.n_rel, 1)
 
@@ -343,28 +355,41 @@ def collate(
         valid[i] = 1
 
     return VQABatch(
-        vis_fea=jnp.asarray(vis),
-        vis_mask=jnp.asarray(vis_mask),
-        q_ipt=jnp.asarray(q, jnp.int32),
-        q_mask=jnp.asarray(q_mask),
-        q_graph=jnp.asarray(q_graph),
-        macro_ipt=jnp.asarray(macro, jnp.int32),
-        macro_mask=jnp.asarray(macro_mask),
-        macro_graph=jnp.asarray(macro_graph),
-        macro_obj_loc=jnp.asarray(obj_loc, jnp.int32),
-        micro_pos_obj=jnp.asarray(mpos, jnp.int32),
-        micro_neg_obj=jnp.asarray(mneg, jnp.int32),
-        micro_obj_mask=jnp.asarray(mmask),
-        micro_pos_rel=jnp.asarray(prel, jnp.int32),
-        micro_neg_rel=jnp.asarray(nrel, jnp.int32),
-        micro_pos_rel_loc=jnp.asarray(prel_loc, jnp.int32),
-        micro_neg_rel_loc=jnp.asarray(nrel_loc, jnp.int32),
-        answer=jnp.asarray(answer, jnp.int32),
-        sample_valid=jnp.asarray(valid),
+        vis_fea=vis,
+        vis_mask=vis_mask,
+        q_ipt=q.astype(np.int32),
+        q_mask=q_mask,
+        q_graph=q_graph,
+        macro_ipt=macro.astype(np.int32),
+        macro_mask=macro_mask,
+        macro_graph=macro_graph,
+        macro_obj_loc=obj_loc.astype(np.int32),
+        micro_pos_obj=mpos.astype(np.int32),
+        micro_neg_obj=mneg.astype(np.int32),
+        micro_obj_mask=mmask,
+        micro_pos_rel=prel.astype(np.int32),
+        micro_neg_rel=nrel.astype(np.int32),
+        micro_pos_rel_loc=prel_loc.astype(np.int32),
+        micro_neg_rel_loc=nrel_loc.astype(np.int32),
+        answer=answer.astype(np.int32),
+        sample_valid=valid,
     )
 
 
 # ---- prefetching loader ---------------------------------------------------------
+
+# Process-pool worker state: one dataset instance per worker process (tar fds
+# and scene-graph dicts are not picklable/shareable; each worker re-opens).
+_WORKER_DS = None
+
+
+def _init_worker(ds_cls, split, cfg):
+    global _WORKER_DS
+    _WORKER_DS = ds_cls(split, cfg)
+
+
+def _worker_sample(idx: int):
+    return _WORKER_DS.sample(idx)
 
 
 class BatchLoader:
@@ -385,6 +410,7 @@ class BatchLoader:
         shard_idx: int = 0,
         num_shards: int = 1,
         num_threads: int = 8,
+        num_procs: int = 0,
         drop_last: bool = True,
         prefetch: int = 64,
     ):
@@ -396,6 +422,10 @@ class BatchLoader:
         self.shard_idx = shard_idx
         self.num_shards = num_shards
         self.num_threads = num_threads
+        # >0: sample construction in worker *processes* — the graph building
+        # and tokenization are pure-Python (GIL-bound), so threads only help
+        # with the IO share. This is the torch num_workers analogue.
+        self.num_procs = num_procs
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
@@ -422,8 +452,21 @@ class BatchLoader:
         pools: dict = {b: [] for b in self.buckets}
         n_invalid = 0
 
-        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
-            for s in ex.map(self.ds.sample, idx, chunksize=4):
+        if self.num_procs > 0:
+            from concurrent.futures import ProcessPoolExecutor
+
+            ex_cm = ProcessPoolExecutor(
+                max_workers=self.num_procs,
+                initializer=_init_worker,
+                initargs=(type(self.ds), self.ds.split, self.ds.cfg),
+            )
+            map_fn, map_target = ex_cm.map, _worker_sample
+        else:
+            ex_cm = ThreadPoolExecutor(max_workers=self.num_threads)
+            map_fn, map_target = ex_cm.map, self.ds.sample
+
+        with ex_cm as ex:
+            for s in map_fn(map_target, idx, chunksize=16):
                 if s is None:
                     n_invalid += 1  # reference drops these pre-batch
                     continue

@@ -119,7 +119,11 @@ class SuperNodeGraphBuilder:
             attrs.append(self.vg_attrs[attr_idx].replace(" ", ""))
             pos.append(cands)
             negatives_pool = [c for c in self._stripped_classes if c not in cands]
-            pick = rng.choice(len(negatives_pool), size=self.topn, replace=False)
+            # reference: random.sample(pool, topn) raises when the pool is
+            # smaller (only possible with tiny class vocabularies) and the
+            # bare except drops the sample; we draw what exists and let the
+            # ragged-candidates policy decide (see docs/PARITY.md)
+            pick = rng.choice(len(negatives_pool), size=min(self.topn, len(negatives_pool)), replace=False)
             neg.append([negatives_pool[k] for k in pick])
         return pos, neg, attrs, correct
 
