@@ -152,10 +152,18 @@ def import_torch_state_dict(state_dict: Dict, variables: Dict, num_blocks: int,
                 used.add(ref)
 
     # reference-side dead parameters we intentionally do not carry
+    # (modules defined in __init__ but never read by forward —
+    # `AttModel_x3.py:46-67,180-185,297,325-332`; R is live only when
+    # only_obj=False)
     dead_prefixes = ("att_vis_grid.v_mlp", "att_vis_grid.input_proj",
                      "att_vis_grid.q_mlp", "att_vis_grid.v_positional_encoding",
+                     "att_vis_grid.q_positional_encoding",
                      "att_syb.q_mlp", "att_syb.q_positional_encoding",
-                     "MIL_NCE.bilinear")
+                     "MIL_NCE.bilinear", "MIL_NCE.rel_mlp")
+    if only_obj:
+        dead_prefixes = dead_prefixes + ("MIL_NCE.R",)
+    if not use_mcb:
+        dead_prefixes = dead_prefixes + ("mcb.", "cls_mcb.")
     unmatched = [k for k in sd if k not in used
                  and not k.startswith(dead_prefixes)]
 
