@@ -140,8 +140,8 @@ class TestFullModelParity:
     """End-to-end: reference AttModel_x3 vs AttModelX3, weights transferred via
     the checkpoint importer, logits compared on the same batch."""
 
-    @pytest.mark.slow
-    def test_logit_parity_only_obj(self, rng):
+    @pytest.mark.parametrize("only_obj", [True, False])
+    def test_logit_parity(self, rng, only_obj):
         import jax
         import jax.numpy as jnp
         import AttModel_x3 as ref_mod
@@ -160,7 +160,7 @@ class TestFullModelParity:
         with torch.no_grad():  # reference's in-place Parameter writes
             ref = ref_mod.AttModel(
                 glove, hidden, hidden_mil, classes, maxlen_q, maxlen, maxlen_v,
-                blocks, heads, 0.5, 0.1, num_rel, True,
+                blocks, heads, 0.5, 0.1, num_rel, only_obj,
             )
             # move every parameter off the exact-init knife edge (LN gamma=1,
             # beta=0 makes content masks chaotic — docs/PARITY.md); trained
@@ -175,7 +175,7 @@ class TestFullModelParity:
             glove_dim=300, hidden_size=hidden, hidden_size_mil=hidden_mil,
             num_blocks=blocks, num_heads=heads, dropout_rate=0.5,
             maxlen=maxlen, maxlen_q=maxlen_q, maxlen_v=maxlen_v, topn=2,
-            only_obj=True,
+            only_obj=only_obj,
         )
         batch = synthetic_batch(cfg, batch=2, lv=4, lq=5, ls=10, seed=11)
         model = AttModelX3(cfg)
@@ -184,7 +184,7 @@ class TestFullModelParity:
             lambda s: jnp.zeros(s.shape, s.dtype), variables
         )
         variables, unmatched = import_torch_state_dict(
-            ref.state_dict(), variables, blocks, only_obj=True
+            ref.state_dict(), variables, blocks, only_obj=only_obj
         )
         assert unmatched == [], unmatched[:8]
 
@@ -209,6 +209,8 @@ class TestFullModelParity:
         got_concat, got_vis, got_syb, got_mil_obj, got_mil_rel = [np.asarray(x) for x in got]
 
         np.testing.assert_allclose(got_mil_obj, want_mil_obj, atol=1e-4)
+        if not only_obj:
+            np.testing.assert_allclose(got_mil_rel, float(want_mil_rel), atol=1e-4)
         np.testing.assert_allclose(got_vis, want_vis, atol=5e-3)
         np.testing.assert_allclose(got_syb, want_syb, atol=5e-3)
         np.testing.assert_allclose(got_concat, want_concat, atol=5e-3)
