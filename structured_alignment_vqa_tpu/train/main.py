@@ -91,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab_size", type=int, default=407000,
                    help="GloVe-backed embedding rows (reference: 407000)")
     p.add_argument("--glove_dim", type=int, default=300)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. 'cpu' for --local_debug-style runs)")
     return p
 
 
@@ -163,6 +165,8 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.model_v != 3:
         raise SystemExit(
             "model_v != 3: use structured_alignment_vqa_tpu.models.variants to "
