@@ -42,21 +42,30 @@ def _square(mask_1d: jax.Array) -> jax.Array:
 # variants taking the (vis, vis_mask2d, q, q_mask2d, ...) block-diag signature
 DEC_FAMILY = {"x2_dec", "x2_dec_ori", "x2_mlp_dec", "x2_syb_dec",
               "x2_fusion_dec", "x2_fusion_dec_relatt", "x3_ori"}
+# variants taking 1-D masks + returning (logits, att_weights); x6 additionally
+# takes idx_of_obj (use --loader itp_bbox_q so it is emitted)
+MIL_FAMILY = {"x5_dec_mil", "x6_dec_mil", "x7_dec_mil"}
 
 
-def eval_batches(model, params, batches, logger, log_steps=100, dec_family=False):
+def eval_batches(model, params, batches, logger, log_steps=100, family="maxpool"):
     """Single-logits eval loop (`eval_itp_grid_ddp_tar_gt.py:37-79`)."""
     loss_meter = AverageMeter()
     n_correct = 0.0
     n_total = 0.0
 
     @jax.jit
-    def step(params, vis, q, qm, qg, node, nm, ng, answer, valid):
-        if dec_family:
+    def step(params, vis, q, qm, qg, node, nm, ng, idx_of_obj, answer, valid):
+        if family == "dec":
             vm2 = _square(jnp.ones(vis.shape[:2], jnp.float32))
             logits = model.apply(
                 params, vis, vm2, q, _square(qm), qg, node, _square(nm), ng
             )
+        elif family == "mil":
+            vm1 = jnp.ones(vis.shape[:2], jnp.float32)
+            args = (vis, vm1, q, qm, qg, node, nm, ng)
+            if "x6" in type(model).__name__.lower():
+                args = args + (idx_of_obj,)
+            logits = model.apply(params, *args)
         else:
             logits = model.apply(params, vis, q, qm, qg, node, nm, ng)
         if isinstance(logits, tuple):
@@ -75,7 +84,7 @@ def eval_batches(model, params, batches, logger, log_steps=100, dec_family=False
             jnp.asarray(b["vis_fea"]), jnp.asarray(b["q_ipt"], jnp.int32),
             jnp.asarray(b["q_mask"]), jnp.asarray(b["q_graph"]),
             jnp.asarray(b["node_ipt"], jnp.int32), jnp.asarray(b["node_mask"]),
-            jnp.asarray(b["node_graph"]),
+            jnp.asarray(b["node_graph"]), jnp.asarray(b["idx_of_obj"], jnp.int32),
             jnp.asarray(b["answer"], jnp.int32), jnp.asarray(b["sample_valid"]),
         )
         if float(n) > 0:
@@ -148,9 +157,9 @@ def main(argv=None):
     if pool:
         batches.append(collate_node_graph(pool + [None] * (args.batch_size - len(pool)), lv, ls, lq))
 
-    dec_family = variant in DEC_FAMILY
+    family = "dec" if variant in DEC_FAMILY else ("mil" if variant in MIL_FAMILY else "maxpool")
     b0 = batches[0]
-    if dec_family:
+    if family == "dec":
         qm2 = _square(jnp.asarray(b0["q_mask"]))
         nm2 = _square(jnp.asarray(b0["node_mask"]))
         vm2 = _square(jnp.ones(b0["vis_fea"].shape[:2], jnp.float32))
@@ -160,6 +169,16 @@ def main(argv=None):
             jnp.asarray(b0["node_ipt"], jnp.int32), nm2,
             jnp.asarray(b0["node_graph"]),
         )
+    elif family == "mil":
+        vm1 = jnp.ones(b0["vis_fea"].shape[:2], jnp.float32)
+        init_args = (
+            jnp.asarray(b0["vis_fea"]), vm1, jnp.asarray(b0["q_ipt"], jnp.int32),
+            jnp.asarray(b0["q_mask"]), jnp.asarray(b0["q_graph"]),
+            jnp.asarray(b0["node_ipt"], jnp.int32), jnp.asarray(b0["node_mask"]),
+            jnp.asarray(b0["node_graph"]),
+        )
+        if variant == "x6_dec_mil":
+            init_args = init_args + (jnp.asarray(b0["idx_of_obj"], jnp.int32),)
     else:
         init_args = (
             jnp.asarray(b0["vis_fea"]), jnp.asarray(b0["q_ipt"], jnp.int32),
@@ -176,7 +195,7 @@ def main(argv=None):
         mgr.close()
 
     loss, corr, n = eval_batches(
-        model, params, batches, logger, args.log_steps, dec_family=dec_family
+        model, params, batches, logger, args.log_steps, family=family
     )
     acc = corr / max(n, 1)
     logger.info(

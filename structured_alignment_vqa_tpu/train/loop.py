@@ -56,6 +56,11 @@ class TrainerConfig:
     checkpoint_every: int = 1
     max_checkpoints: Optional[int] = None
     num_workers: int = 8
+    # capture a JAX profiler trace of training steps [profile_start, profile_start
+    # + profile_steps) into <output_dir>/profile (SURVEY.md section 5.1: the reference
+    # had no profiling at all)
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 def run_eval(eval_step, state, loader, logger, log_steps, tag=""):
@@ -139,7 +144,15 @@ def train(
         train_loader.set_epoch(epoch)
         loss_meter, mil_meter = AverageMeter(), AverageMeter()
 
+        tracing = False
         for i, batch in enumerate(train_loader):
+            if tc.profile_steps and proc == 0 and epoch == start_epoch:
+                if i == tc.profile_start:
+                    jax.profiler.start_trace(f"{tc.output_dir}/profile")
+                    tracing = True
+                elif tracing and i == tc.profile_start + tc.profile_steps:
+                    jax.profiler.stop_trace()
+                    tracing = False
             state, m = train_step(state, put_batch(batch, mesh), rng)
             bsz = int(m["n"])
             if bsz:
@@ -156,6 +169,9 @@ def train(
                 )
                 metrics_out.log("Avg Loss", loss_meter.avg, int(state.step))
                 metrics_out.log("Avg MILNCE_loss", mil_meter.avg, int(state.step))
+
+        if tracing:  # epoch shorter than the requested window
+            jax.profiler.stop_trace()
 
         # per-epoch eval on val and train (`main:380-382`)
         val_loss, val_corr, val_n = run_eval(

@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--glove_dim", type=int, default=300)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. 'cpu' for --local_debug-style runs)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a JAX profiler trace over N training steps")
     return p
 
 
@@ -159,6 +161,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         seed=args.seed,
         resume=not args.no_resume,
         num_workers=args.num_workers,
+        profile_steps=args.profile_steps,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg
 

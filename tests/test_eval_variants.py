@@ -15,15 +15,20 @@ def fixture_dir(tmp_path_factory):
     return root
 
 
-@pytest.mark.parametrize("model_v,extra", [(1, []), (2, []), (2, ["--with_dec"])])
+@pytest.mark.parametrize("model_v,extra", [
+    (1, []), (2, []), (2, ["--with_dec"]),
+    (2, ["--variant", "x5_dec_mil", "--loader", "itp_bbox_q"]),
+    (2, ["--variant", "x6_dec_mil", "--loader", "itp_bbox_q"]),
+])
 def test_eval_variants_driver(fixture_dir, tmp_path, model_v, extra):
     from structured_alignment_vqa_tpu.train.evaluate_variants import main
 
     loss, acc = main([
         "--data_dir_azure", fixture_dir,
         "--output_dir", str(tmp_path / "out"),
-        "--model_v", str(model_v), *extra,
+        "--model_v", str(model_v),
         "--loader", "itp_gt", "--split", "train", "--q_tar_fn", "train.tar",
+        *extra,
         "--batch_size", "4", "--maxlen", "64", "--maxlen_q", "12",
         "--maxlen_v", "6", "--hidden_size", "16", "--num_blocks", "2",
         "--num_heads", "2", "--min_cnt", "50",

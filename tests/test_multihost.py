@@ -85,7 +85,7 @@ def test_two_process_distributed_train_step(tmp_path):
     results = {}
     logs = []
     for p in procs:
-        out, err = p.communicate(timeout=240)
+        out, err = p.communicate(timeout=540)
         logs.append(err.decode()[-2000:])
         assert p.returncode == 0, f"worker failed:\n{err.decode()[-3000:]}"
         for line in out.decode().splitlines():
