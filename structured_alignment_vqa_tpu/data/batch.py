@@ -9,8 +9,6 @@ None-filtering (`:342`) so the batch dimension stays static for XLA.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

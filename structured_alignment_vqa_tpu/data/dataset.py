@@ -20,8 +20,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -29,7 +27,6 @@ import numpy as np
 
 from structured_alignment_vqa_tpu.data.batch import VQABatch
 from structured_alignment_vqa_tpu.data.graph_builder import (
-    MacroGraph,
     PAD_NODE,
     SuperNodeGraphBuilder,
     quantize_bbox,

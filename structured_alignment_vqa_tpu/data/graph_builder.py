@@ -27,7 +27,7 @@ here sampling uses an explicit ``numpy`` Generator passed by the caller, so a
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -32,8 +32,6 @@ to :class:`~structured_alignment_vqa_tpu.train.att_mil_loss.AttMILLoss`).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -50,7 +48,6 @@ from structured_alignment_vqa_tpu.ops.attention import (
     GraphMaskAttention,
 )
 from structured_alignment_vqa_tpu.ops.layers import Embedding, FeedForward
-from structured_alignment_vqa_tpu.ops.mcb import compact_bilinear_pooling
 
 
 def _positions(b: int, l: int) -> jax.Array:

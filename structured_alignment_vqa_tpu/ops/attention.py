@@ -38,12 +38,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from structured_alignment_vqa_tpu.ops.layers import (
-    NEG_MASK_VALUE,
-    LayerNorm,
-    LNParams,
-    layer_norm,
-)
+from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE, LNParams, layer_norm
 
 # F.normalize(p=1) clamps the norm at 1e-12 (`modules.py:285`).
 L1_NORM_EPS = 1e-12

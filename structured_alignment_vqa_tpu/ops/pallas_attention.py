@@ -11,21 +11,27 @@ matrix never touches HBM. At the production operating point (L <= 512,
 Dh = 64) a full (L, L) f32 tile plus Q/K/V slabs is well under the ~16 MB VMEM
 budget, so no inner K-blocking is needed.
 
-The backward pass reuses XLA autodiff of the composite implementation in
-`attention.py` (identical math) via ``jax.custom_vjp`` — the fused kernel
-accelerates the forward (inference/serving and the forward half of training).
+Backward: a hand-derived Pallas kernel (`pallas_attention_bwd.py`) when
+``USE_KERNEL_BWD`` is set, else XLA autodiff of the composite implementation
+in `attention.py` (identical math) via ``jax.custom_vjp``.
 
 Usage: gate via ``ModelConfig.use_pallas_attention``; the wrapper pads L to
 the TPU lane width and slices back, which is exact because padded key columns
 carry a zero key-mask (softmax mass exp(-2^32) == 0) and padded query rows are
 zeroed by the query mask before the V matmul.
+
+Measured guidance (v5e, hidden 512, 8 heads, bs 128): on *lane-aligned*
+sequence lengths XLA's batched fusion of the composite op is slightly faster
+than this per-batch kernel (inference 14.1 vs 15.4 ms; train step 78.6 vs
+85.7 ms), so ``ModelConfig.use_pallas_attention`` defaults to False. The
+kernel wins when shapes are not aligned (21.1 vs 29.3 ms at L=158) — i.e.
+when the data pipeline cannot bucket to 128-multiples — and is the platform
+for fusions XLA cannot express (the LN epilogue lives here already).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -218,8 +224,23 @@ def _fgal_fwd(q, k, v, key_mask, query_mask, graph, residual, gamma, beta,
     return out, (q, k, v, key_mask, query_mask, graph, residual, gamma, beta)
 
 
+# Use the hand-derived Pallas backward kernel (pallas_attention_bwd.py) instead
+# of XLA autodiff over the composite. Flip off to fall back.
+USE_KERNEL_BWD = True
+
+
 def _fgal_bwd(num_heads, renorm, res, g):
     q, k, v, key_mask, query_mask, graph, residual, gamma, beta = res
+    if USE_KERNEL_BWD:
+        from structured_alignment_vqa_tpu.ops.pallas_attention_bwd import (
+            fused_attention_bwd,
+        )
+
+        dq, dk, dv, dr, dga, dbe = fused_attention_bwd(
+            q, k, v, key_mask, query_mask, graph, residual, gamma, beta,
+            g, num_heads, renorm, fuse_ln=True, interpret=INTERPRET_MODE,
+        )
+        return dq, dk, dv, None, None, None, dr, dga, dbe
     _, vjp = jax.vjp(
         lambda q_, k_, v_, r_, ga_, be_: _composite_ln(
             q_, k_, v_, key_mask, query_mask, graph, r_, ga_, be_, num_heads, renorm

@@ -13,8 +13,6 @@ matching the strategy of `pallas_attention.py`.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

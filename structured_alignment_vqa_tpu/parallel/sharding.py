@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from structured_alignment_vqa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

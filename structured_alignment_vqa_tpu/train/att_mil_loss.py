@@ -20,7 +20,7 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ eval step over whatever mesh is available.
 
 from __future__ import annotations
 
-import argparse
 import datetime
 
 import jax

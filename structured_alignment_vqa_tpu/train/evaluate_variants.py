@@ -18,7 +18,6 @@ import datetime
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from structured_alignment_vqa_tpu.data.node_graph_dataset import (
     NodeGraphDataset,

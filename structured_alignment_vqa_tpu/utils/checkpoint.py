@@ -9,9 +9,8 @@ resume from the latest one.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from structured_alignment_vqa_tpu.parallel.train_step import TrainState

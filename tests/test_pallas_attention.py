@@ -68,6 +68,39 @@ def test_gradients_match_composite(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("renorm", ["l1", "sum_eps"])
+def test_kernel_backward_matches_composite(rng, renorm):
+    """Hand-derived backward kernel vs XLA autodiff of the composite+LN,
+    including padding rows, zero-graph rows, and the LN variance guard."""
+    from structured_alignment_vqa_tpu.ops.pallas_attention import (
+        _composite_ln,
+        fused_graph_attention_ln,
+    )
+
+    b, l, c, h = 2, 9, 16, 4
+    q, k, v, km, qm, graph = make_inputs(rng, b=b, l=l, c=c)
+    graph = graph.at[0, 3, :].set(0.0)  # fully-disconnected row
+    residual = jnp.asarray(rng.standard_normal((b, l, c)).astype(np.float32))
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c).astype(np.float32))
+    beta = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+
+    def f_fused(q, k, v, residual, gamma, beta):
+        return jnp.sum(fused_graph_attention_ln(
+            q, k, v, km, qm, graph, residual, gamma, beta, h, renorm) ** 2)
+
+    def f_comp(q, k, v, residual, gamma, beta):
+        return jnp.sum(_composite_ln(
+            q, k, v, km, qm, graph, residual, gamma, beta, h, renorm) ** 2)
+
+    args = (q, k, v, residual, gamma, beta)
+    ga = jax.grad(f_fused, argnums=tuple(range(6)))(*args)
+    gb = jax.grad(f_comp, argnums=tuple(range(6)))(*args)
+    for name, a, b_ in zip(("dq", "dk", "dv", "dres", "dgamma", "dbeta"), ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=name
+        )
+
+
 def test_fused_ffn_matches_composite(rng):
     from structured_alignment_vqa_tpu.ops.pallas_ffn import fused_ffn, _composite
 
