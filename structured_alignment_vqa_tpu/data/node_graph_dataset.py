@@ -164,9 +164,12 @@ class NodeGraphDataset(GQASuperNodeDataset):
         self._freq_relations(nodes, edges, idx_obj, objs, rel2pos, strip=False)
         return nodes, edges, idx_obj, keep
 
-    def _nodes_pred(self, data_info, bbox, gt_graph, rng) -> Tuple[List[str], List, List[int]]:
-        """Top detected label per GT object; GT or filtered frequency-dict
-        relations (`GTRelPredNode:120-218`)."""
+    def _nodes_pred(self, data_info, bbox, gt_graph, rng,
+                    use_gt_names: bool = False) -> Tuple[List[str], List, List[int]]:
+        """Top detected label per GT object (or the GT name itself when
+        ``use_gt_names`` — the `data_loader_itp_gt_bbox.py:118-211` recipe,
+        which shares this structure); GT or filtered frequency-dict relations
+        (`GTRelPredNode:120-218`)."""
         nodes: List[str] = []
         edges: List = []
         idx_obj: List[int] = []
@@ -179,6 +182,9 @@ class NodeGraphDataset(GQASuperNodeDataset):
 
         for obj_idxs, obj_key in zip(data_info["objects_id"], gt_graph["objects"]):
             obj2idx[obj_key] = len(obj2idx)
+            if use_gt_names:
+                nodes.append(gt_graph["objects"][obj_key]["name"].strip().replace(" ", ""))
+                continue
             pred = None
             for oid in np.asarray(obj_idxs).reshape(-1):
                 if oid < len(self.builder.vg_classes):
@@ -373,6 +379,11 @@ class NodeGraphDataset(GQASuperNodeDataset):
         idx_of_obj = None
         if cfg.node_source == "gt":
             nodes, edges, idx_obj = self._nodes_gt(gt_graph)
+        elif cfg.node_source == "gt_named":
+            g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
+            bbox = quantize_bbox(g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num)
+            nodes, edges, idx_obj = self._nodes_pred(
+                g_npz["info"].tolist(), bbox, gt_graph, rng, use_gt_names=True)
         elif cfg.node_source == "detected":
             g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
             bbox = quantize_bbox(g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num)
@@ -466,8 +477,10 @@ def config_for_variant(variant: str, data_dir: str, **kw) -> NodeGraphConfig:
                     position_nodes="bbox_corners"),
         "itp_gt": dict(node_source="gt", relation_source="freq_dict",
                        position_nodes="center_grid", fea_key="fea"),
-        "itp_gt_bbox": dict(node_source="gt", relation_source="freq_dict",
+        "itp_gt_bbox": dict(node_source="gt_named", relation_source="freq_dict",
                             position_nodes="bbox_corners"),
+        "itp_gt_bbox_gtrel": dict(node_source="gt_named", relation_source="gt",
+                                  position_nodes="bbox_corners"),
         "itp_gtWpred_bbox": dict(node_source="pred_node", relation_source="freq_dict",
                                  position_nodes="bbox_corners"),
         "itp_GTRelPredNode_bbox": dict(node_source="pred_node", relation_source="gt",
