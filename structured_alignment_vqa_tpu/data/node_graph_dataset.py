@@ -278,6 +278,100 @@ class NodeGraphDataset(GQASuperNodeDataset):
                 edges.append([idx_obj[i], pos_rel])
                 edges.append([pos_rel, idx_obj[j]])
 
+    def _nodes_gtwpred(self, data_info, bbox, gt_graph):
+        """GT+predicted node mixing (`data_loader_itp_gtWpred_bbox.py:300-416`):
+        per object a *chain* of up to topN detected-label nodes whose last link
+        is replaced by the GT name, consecutive candidates edged together, each
+        candidate sharing the attr/position nodes; frequency-dict relations
+        over every candidate pair with the spatial flip correction."""
+        from structured_alignment_vqa_tpu.data.graph_builder import _spatial_correct
+
+        classes = self.builder._stripped_classes
+        attrs_v = [a.replace(" ", "") for a in self.builder.vg_attrs]
+        topn = self.ncfg.topn
+        cand_lists, attr_lists = [], []
+        for obj_idxs, obj_key, attr_idx in zip(
+            data_info["objects_id"], gt_graph["objects"], data_info["attrs_id"]
+        ):
+            cands = []
+            for oid in np.asarray(obj_idxs).reshape(-1):
+                if len(cands) >= topn:
+                    break
+                if oid < len(classes):
+                    cands.append(classes[oid])
+            gt_name = gt_graph["objects"][obj_key]["name"].strip().replace(" ", "")
+            if cands:
+                cands[-1] = gt_name  # reference replaces the last candidate
+            else:
+                # reference would IndexError and drop the sample; keep the GT
+                # name instead (docs/PARITY.md repair policy)
+                cands = [gt_name]
+            cand_lists.append(cands)
+            attr_lists.append(attrs_v[attr_idx])
+
+        nodes: List[str] = []
+        edges: List = []
+        idx_objs: List[List[int]] = []
+        attr2idx: Dict[str, int] = {}
+        pos2idx: Dict[str, int] = {}
+        rel2pos: Dict[str, int] = {}
+        for i, cands in enumerate(cand_lists):
+            chain: List[int] = []
+            prev = len(nodes)
+            for name in cands:
+                pos_obj = len(nodes)
+                if prev != pos_obj:  # chain consecutive candidates
+                    edges.append([prev, pos_obj])
+                    edges.append([pos_obj, prev])
+                    prev = pos_obj
+                nodes.append(name)
+                a = attr_lists[i]
+                if a in attr2idx:
+                    pa = attr2idx[a]
+                else:
+                    pa = len(nodes)
+                    attr2idx[a] = pa
+                    nodes.append(a)
+                edges.append([pos_obj, pa])
+                edges.append([pa, pos_obj])
+                chain.append(pos_obj)
+                if self.ncfg.position_nodes == "bbox_corners" and i < len(bbox):
+                    for cx, cy in ((0, 1), (2, 3)):
+                        pn = f"x{int(bbox[i][cx])}y{int(bbox[i][cy])}"
+                        if pn in pos2idx:
+                            pp = pos2idx[pn]
+                        else:
+                            pp = len(nodes)
+                            pos2idx[pn] = pp
+                            nodes.append(pn)
+                        edges.append([pos_obj, pp])
+                        edges.append([pp, pos_obj])
+            idx_objs.append(chain)
+
+        gtr = self.builder.gt_relations
+        n = len(cand_lists)
+        for i in range(n):
+            for j in range(n):
+                for i_, a in enumerate(cand_lists[i]):
+                    for j_, b_ in enumerate(cand_lists[j]):
+                        key = f"{a},{b_}"
+                        if key not in gtr:
+                            continue
+                        r_name = gtr[key].replace(" ", "")
+                        if r_name in rel2pos:
+                            pos_rel = rel2pos[r_name]
+                        else:
+                            pos_rel = len(nodes)
+                            rel2pos[r_name] = pos_rel
+                            r = "".join(r_name.split())
+                            if i < len(bbox) and j < len(bbox):
+                                r = _spatial_correct(r, bbox, i, j)
+                            nodes.append(r)
+                        edges.append([idx_objs[i][i_], pos_rel])
+                        edges.append([pos_rel, idx_objs[j][j_]])
+        first_rows = [c[0] for c in idx_objs]
+        return nodes, edges, first_rows
+
     def _nodes_visrel(self, data_info, bbox):
         """Vis-branch symbolic graph (`data_loader_itp_bbox.py:114-220`):
         one node per region (``__background__`` for invalid detections),
@@ -384,6 +478,10 @@ class NodeGraphDataset(GQASuperNodeDataset):
             bbox = quantize_bbox(g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num)
             nodes, edges, idx_obj = self._nodes_pred(
                 g_npz["info"].tolist(), bbox, gt_graph, rng, use_gt_names=True)
+        elif cfg.node_source == "gt_with_pred":
+            g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
+            bbox = quantize_bbox(g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num)
+            nodes, edges, idx_obj = self._nodes_gtwpred(g_npz["info"].tolist(), bbox, gt_graph)
         elif cfg.node_source == "detected":
             g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
             bbox = quantize_bbox(g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num)
@@ -481,8 +579,8 @@ def config_for_variant(variant: str, data_dir: str, **kw) -> NodeGraphConfig:
                             position_nodes="bbox_corners"),
         "itp_gt_bbox_gtrel": dict(node_source="gt_named", relation_source="gt",
                                   position_nodes="bbox_corners"),
-        "itp_gtWpred_bbox": dict(node_source="pred_node", relation_source="freq_dict",
-                                 position_nodes="bbox_corners"),
+        "itp_gtWpred_bbox": dict(node_source="gt_with_pred", relation_source="freq_dict",
+                                 position_nodes="bbox_corners", topn=5),
         "itp_GTRelPredNode_bbox": dict(node_source="pred_node", relation_source="gt",
                                        position_nodes="bbox_corners"),
         "itp_GTRelPredNode_bbox_freq": dict(node_source="pred_node",

@@ -97,7 +97,8 @@ def test_gt_off_by_one_flag(fixture_dir):
 
 
 def test_label_noise_changes_nodes(fixture_dir):
-    clean = make_ds(fixture_dir, "itp_gtWpred_bbox")
+    # same node source (pred_node), with vs without the dataAug noise
+    clean = make_ds(fixture_dir, "itp_bbox_aug", label_noise_rate=0.0)
     noisy = make_ds(fixture_dir, "itp_bbox_aug", label_noise_rate=1.0)
     diffs = 0
     for i in range(len(clean)):
