@@ -56,6 +56,7 @@ class TrainerConfig:
     checkpoint_every: int = 1
     max_checkpoints: Optional[int] = None
     num_workers: int = 8
+    num_procs: int = 0  # loader worker processes (0 = thread pool)
     # capture a JAX profiler trace of training steps [profile_start, profile_start
     # + profile_steps) into <output_dir>/profile (SURVEY.md section 5.1: the reference
     # had no profiling at all)
@@ -112,10 +113,12 @@ def train(
     train_loader = BatchLoader(
         train_ds, tc.batch_size, shuffle=True, seed=tc.seed,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
+        num_procs=tc.num_procs,
     )
     val_loader = BatchLoader(
         val_ds, tc.batch_size, shuffle=False,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
+        num_procs=tc.num_procs,
     )
 
     # init from the first available batch (defines bucket shapes are per-batch;

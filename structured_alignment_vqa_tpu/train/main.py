@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. 'cpu' for --local_debug-style runs)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a JAX profiler trace over N training steps")
+    p.add_argument("--num_procs", type=int, default=0,
+                   help="loader worker processes (0 = thread pool)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="use the fused Pallas kernel tier (wins on unaligned shapes)")
     return p
 
 
@@ -133,6 +137,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         use_mcb=args.mcb,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         share_glove=args.share_glove,
+        use_pallas_attention=args.use_pallas,
     )
 
     def data_cfg(fea, q, g):
@@ -161,6 +166,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         seed=args.seed,
         resume=not args.no_resume,
         num_workers=args.num_workers,
+        num_procs=args.num_procs,
         profile_steps=args.profile_steps,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg

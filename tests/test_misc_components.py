@@ -111,3 +111,29 @@ class TestStepTimer:
         for _ in range(5):
             r = t.tick()
         assert r is not None and r > 0
+
+
+class TestGloveGraft:
+    def test_graft_glove_fills_tables(self):
+        import jax
+        import numpy as np
+        from structured_alignment_vqa_tpu.data.synthetic import synthetic_batch
+        from structured_alignment_vqa_tpu.models import AttModelX3
+        from structured_alignment_vqa_tpu.models.config import tiny_test_config
+        from structured_alignment_vqa_tpu.train.loop import graft_glove
+
+        cfg = tiny_test_config()
+        batch = synthetic_batch(cfg, batch=2, lv=3, lq=4, ls=8)
+        model = AttModelX3(cfg)
+        params = model.init(jax.random.key(0), batch)["params"]
+        table = np.arange(20 * cfg.glove_dim, dtype=np.float32).reshape(20, cfg.glove_dim)
+        new = graft_glove(params, table)
+        # every GloVe table parameter got rows [0, 20) replaced
+        n_found = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(new)[0]:
+            if getattr(path[-1], "key", None) == "table":
+                np.testing.assert_array_equal(np.asarray(leaf)[:20], table)
+                n_found += 1
+        assert n_found == 3  # vis, syb, mil copies (share_glove=False)
+        # PE lookup_tables untouched
+        old_pe = None
