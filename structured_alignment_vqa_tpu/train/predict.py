@@ -1,0 +1,108 @@
+"""Batch serving driver: checkpoint -> answers.
+
+The reference has no inference product beyond its eval loops; this is the
+deployment surface the TPU build adds: stream a question tar through the
+loader, run the jitted ensemble-argmax predict step, and write
+``{"index", "answer_id", "answer"}`` JSONL.
+
+Usage:
+    python -m structured_alignment_vqa_tpu.train.predict \
+        --data_dir_azure /data/gqa ... --weight_dir out/checkpoints \
+        --split val --q_tar_fn_val val.tar --out answers.jsonl
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structured_alignment_vqa_tpu.data.dataset import BatchLoader, GQASuperNodeDataset
+from structured_alignment_vqa_tpu.models import AttModelX3
+from structured_alignment_vqa_tpu.parallel import create_train_state
+from structured_alignment_vqa_tpu.parallel.mesh import fitting_mesh
+from structured_alignment_vqa_tpu.parallel.train_step import adam, put_batch, shard_state
+from structured_alignment_vqa_tpu.train.main import build_parser, configs_from_args
+from structured_alignment_vqa_tpu.utils.checkpoint import load_params_for_eval
+from structured_alignment_vqa_tpu.utils.logging import setup_logging
+
+
+def make_predict_step(model):
+    """Jitted ensemble-argmax (the serving half of `main:335-341`)."""
+
+    @jax.jit
+    def predict(state, batch):
+        variables = {"params": state.params}
+        if state.constants:
+            variables["constants"] = state.constants
+        lc, lv, ls_, _, _ = model.apply(variables, batch, deterministic=True)
+        log_sm = (
+            jax.nn.log_softmax(lv.astype(jnp.float32), -1)
+            + jax.nn.log_softmax(ls_.astype(jnp.float32), -1)
+            + jax.nn.log_softmax(lc.astype(jnp.float32), -1)
+        )
+        return jnp.argmax(log_sm, axis=-1)
+
+    return predict
+
+
+def main(argv=None):
+    parser = build_parser()
+    parser.add_argument("--weight_dir", type=str, required=True)
+    parser.add_argument("--weight_epoch", type=int, default=None)
+    parser.add_argument("--split", type=str, default="val")
+    parser.add_argument("--out", type=str, default="-", help="JSONL path or - for stdout")
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    model_cfg, train_dc, val_dc, trainer_cfg = configs_from_args(args)
+    dc = val_dc if args.split == "val" else train_dc
+    logger = setup_logging(trainer_cfg.output_dir, jax.process_index())
+
+    ds = GQASuperNodeDataset(args.split, dc)
+    id2ans = {v: k for k, v in ds.ans_w2id.items()}
+    loader = BatchLoader(
+        ds, trainer_cfg.batch_size, shuffle=False, drop_last=False,
+        num_threads=trainer_cfg.num_workers, num_procs=trainer_cfg.num_procs,
+    )
+
+    model = AttModelX3(model_cfg)
+    probe = next(iter(loader))
+    state = create_train_state(model, jax.random.key(0), probe, adam(trainer_cfg.lr))
+    state = load_params_for_eval(args.weight_dir, state, args.weight_epoch)
+    mesh = fitting_mesh(trainer_cfg.batch_size, trainer_cfg.model_parallel)
+    state = shard_state(state, mesh)
+    predict = make_predict_step(model)
+
+    sink = sys.stdout if args.out == "-" else open(args.out, "w")
+    t0 = time.perf_counter()
+    n_out = 0
+    idx = 0
+    try:
+        for batch in loader:
+            preds = np.asarray(predict(state, put_batch(batch, mesh)))
+            valid = np.asarray(batch.sample_valid)
+            for j in range(len(preds)):
+                if valid[j]:
+                    aid = int(preds[j])
+                    sink.write(json.dumps({
+                        "index": idx, "answer_id": aid,
+                        "answer": id2ans.get(aid, "<other>"),
+                    }) + "\n")
+                    n_out += 1
+                idx += 1
+    finally:
+        if sink is not sys.stdout:
+            sink.close()
+    dt = time.perf_counter() - t0
+    logger.info("predicted %d answers in %.2fs (%.0f pairs/s)", n_out, dt, n_out / max(dt, 1e-9))
+    return n_out
+
+
+if __name__ == "__main__":
+    main()
