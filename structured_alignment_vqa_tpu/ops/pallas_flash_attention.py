@@ -1,0 +1,212 @@
+"""Flash-style (K-blocked) graph-guided attention for long sequences.
+
+The full-length kernel (`pallas_attention.py`) holds the (L, L) attention
+matrix in VMEM — fine at the obj-only operating point (L <= 512), impossible
+at the obj+rel one (L ~ 1640: the score tile alone is ~11 MB and the graph
+another 11 MB). This kernel streams K/V *and the adjacency tiles* with the
+standard online-softmax recurrence (SURVEY.md section 5.7's sketched extension
+point).
+
+The graph renorm folds into the recurrence because the softmax normalizer
+cancels: with running max m and
+
+    a = sum_j exp(s_j - m) * g_j * v_j        (C-vector per query row)
+    b = sum_j exp(s_j - m) * g_j              (scalar per query row)
+    z = sum_j exp(s_j - m)                    (softmax normalizer)
+
+the unblocked result  N = (P*g) / max(sum(P*g), eps)  @ V  becomes
+
+    l1:      out = a / max(b, eps * z)        (P = exp(s-m)/z cancels)
+    sum_eps: out = a / (b + eps * z)
+
+so a single pass over K tiles suffices — no second pass, no (L, L) tensor.
+Key-masked columns enter as exp(-2^32+1 - m) == 0 exactly, like the
+reference's fill (`modules.py:261`).
+
+Accumulators live in VMEM scratch and persist across the innermost grid
+dimension (TPU grids iterate sequentially); the output tile is written on the
+last K step. Backward falls back to XLA autodiff of the composite op.
+
+STATUS: correct (parity-tested in interpreter mode and on-chip at L=1536,
+bf16 max diff ~4e-3) but NOT yet performance-competitive — measured 251 ms vs
+7.9 ms for XLA's composite at (B=4, L=1536, C=512, 8 heads, tiles 256x512).
+The per-(batch, q-tile, head) program granularity and the (TQ, 1) accumulator
+layouts need tuning before this becomes the default for the obj+rel regime;
+its current value is memory (no (L, L) materialization) and as the base for
+an ICI ring-attention extension (SURVEY.md section 5.7). Tracked for round 2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from structured_alignment_vqa_tpu.ops.layers import NEG_MASK_VALUE
+from structured_alignment_vqa_tpu.ops.attention import L1_NORM_EPS, SUM_NORM_EPS
+
+LANE = 128
+
+
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref,
+            m_acc, z_acc, b_acc, a_acc, *, renorm: str, dh: int):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_acc[...] = jnp.full_like(m_acc, -jnp.inf)
+        z_acc[...] = jnp.zeros_like(z_acc)
+        b_acc[...] = jnp.zeros_like(b_acc)
+        a_acc[...] = jnp.zeros_like(a_acc)
+
+    q = q_ref[0, 0]       # (TQ, dh)
+    k = k_ref[0, 0]       # (TK, dh)
+    v = v_ref[0, 0]       # (TK, dh)
+    km = kmask_ref[0]     # (1, TK)
+    g = graph_ref[0]      # (TQ, TK)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / (dh ** 0.5))
+    s = jnp.where(km == 0.0, NEG_MASK_VALUE, s)
+
+    m_prev = m_acc[...]                        # (TQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)            # rescale old accumulators
+    p = jnp.exp(s - m_new)                     # (TQ, TK)
+    pg = p * g
+
+    m_acc[...] = m_new
+    z_acc[...] = z_acc[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    b_acc[...] = b_acc[...] * alpha + jnp.sum(pg, axis=-1, keepdims=True)
+    a_acc[...] = a_acc[...] * alpha + jax.lax.dot_general(
+        pg.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _():
+        qm = qmask_ref[0].reshape(-1, 1)       # (TQ, 1)
+        a = a_acc[...]
+        b = b_acc[...]
+        z = z_acc[...]
+        if renorm == "l1":
+            out = a / jnp.maximum(b, L1_NORM_EPS * z)
+        else:
+            out = a / (b + SUM_NORM_EPS * z)
+        out_ref[0, 0] = (out * qm).astype(out_ref.dtype)
+
+
+def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str,
+                   q_tile: int = 256, k_tile: int = 512, interpret: bool = False):
+    b, l, c = q.shape
+    dh = c // num_heads
+    lq = ((l + q_tile - 1) // q_tile) * q_tile
+    lk = ((l + k_tile - 1) // k_tile) * k_tile
+    lp = max(lq, lk)
+
+    def pad(x, axis, size):
+        if x.shape[axis] == size:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, size - x.shape[axis])
+        return jnp.pad(x, w)
+
+    # head-split so every block's trailing dim equals the full array dim
+    # (Mosaic requires last-two block dims divisible by (8, 128) or full)
+    def split(x, size):
+        x = pad(x, 1, size)
+        return x.reshape(b, size, num_heads, dh).transpose(0, 2, 1, 3)  # (B,H,L,dh)
+
+    qp = split(q, lq)
+    kp = split(k, lk)
+    vp = split(v, lk)
+    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lk)
+    qm = pad(query_mask.astype(jnp.float32).reshape(b, 1, l), 2, lq)
+    g = pad(pad(graph.astype(jnp.float32), 1, lq), 2, lk)
+
+    nq = lq // q_tile
+    nk = lk // k_tile
+    kernel = functools.partial(_kernel, renorm=renorm, dh=dh)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nq, num_heads, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, iq, h, ik: (ib, h, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, iq, h, ik: (ib, h, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile), lambda ib, iq, h, ik: (ib, 0, ik),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile), lambda ib, iq, h, ik: (ib, 0, iq),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, k_tile), lambda ib, iq, h, ik: (ib, iq, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, lq, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+            pltpu.VMEM((q_tile, 1), jnp.float32),
+            pltpu.VMEM((q_tile, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * lq * lk * dh,
+            bytes_accessed=(3 * b * lk * c + b * lq * lk) * 2,
+            transcendentals=b * num_heads * lq * lk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, km, qm, g)
+
+    # (B, H, Lq, dh) -> (B, L, C) with the channel-chunk head layout
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
+    return out[:, :l, :]
+
+
+def _composite(q, k, v, key_mask, query_mask, graph, num_heads, renorm):
+    from structured_alignment_vqa_tpu.ops.attention import attention_core
+
+    out, _ = attention_core(
+        q, k, v, key_mask=key_mask, query_mask=query_mask,
+        num_heads=num_heads, graph=graph, renorm=renorm,
+    )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
+                          num_heads: int, renorm: str = "l1",
+                          q_tile: int = 256, k_tile: int = 512,
+                          interpret: bool = False):
+    """K-blocked fused graph attention; exact, single pass, O(L) memory."""
+    return _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads,
+                          renorm, q_tile, k_tile, interpret)
+
+
+def _fwd(q, k, v, key_mask, query_mask, graph, num_heads, renorm, q_tile, k_tile, interpret):
+    out = _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads,
+                         renorm, q_tile, k_tile, interpret)
+    return out, (q, k, v, key_mask, query_mask, graph)
+
+
+def _bwd(num_heads, renorm, q_tile, k_tile, interpret, res, g):
+    q, k, v, key_mask, query_mask, graph = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _composite(q_, k_, v_, key_mask, query_mask, graph,
+                                      num_heads, renorm),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None, None
+
+
+flash_graph_attention.defvjp(_fwd, _bwd)

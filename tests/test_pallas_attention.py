@@ -149,3 +149,70 @@ def test_module_uses_pallas_path(rng):
     o1 = m1.apply(p, x, x, x, graph)
     o2 = m2.apply(p, x, x, x, graph)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+class TestFlashGraphAttention:
+    """K-blocked online-softmax kernel vs the composite op."""
+
+    @pytest.mark.parametrize("renorm", ["l1", "sum_eps"])
+    def test_matches_composite(self, rng, renorm):
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            flash_graph_attention,
+        )
+
+        q, k, v, km, qm, graph = make_inputs(rng, b=2, l=20, c=16)
+        got = flash_graph_attention(
+            q, k, v, km, qm, graph, 4, renorm, q_tile=8, k_tile=8, interpret=True
+        )
+        want, _ = attention_core(
+            q, k, v, key_mask=km, query_mask=qm, num_heads=4,
+            graph=graph, renorm=renorm,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_masked_tile_with_connected_graph(self, rng):
+        """A fully key-masked K tile whose graph entries are 1 (the cross-stage
+        block over padding) must contribute exactly nothing."""
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            flash_graph_attention,
+        )
+
+        b, l, c = 1, 16, 16
+        x = rng.standard_normal((b, l, c)).astype(np.float32)
+        x[0, 8:] = 0.0  # second K tile entirely padding
+        q = jnp.asarray(np.maximum(x, 0) + 0.1)
+        km = content_mask(jnp.asarray(x))
+        qm = content_mask(jnp.asarray(x))
+        graph = jnp.ones((b, l, l), jnp.float32)  # graph connects everything
+        got = flash_graph_attention(
+            q, q, q, km, qm, graph, 2, "l1", q_tile=8, k_tile=8, interpret=True
+        )
+        want, _ = attention_core(
+            q, q, q, key_mask=km, query_mask=qm, num_heads=2,
+            graph=graph, renorm="l1",
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_gradients_via_composite(self, rng):
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            flash_graph_attention,
+        )
+
+        q, k, v, km, qm, graph = make_inputs(rng, b=1, l=12, c=8)
+
+        def f(q, k, v):
+            return jnp.sum(flash_graph_attention(
+                q, k, v, km, qm, graph, 2, "l1", q_tile=4, k_tile=4, interpret=True
+            ) ** 2)
+
+        def g_(q, k, v):
+            out, _ = attention_core(
+                q, k, v, key_mask=km, query_mask=qm, num_heads=2,
+                graph=graph, renorm="l1",
+            )
+            return jnp.sum(out ** 2)
+
+        ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(g_, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
