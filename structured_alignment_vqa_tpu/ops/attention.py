@@ -218,6 +218,19 @@ class _AttentionBase(nn.Module):
             and rng is None
             and queries.shape == keys.shape
         ):
+            if queries.shape[1] > 512:
+                # long-sequence regime: the full (L, L) tile exceeds VMEM;
+                # use the K-blocked online-softmax kernel
+                from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+                    flash_graph_attention,
+                )
+
+                out = flash_graph_attention(
+                    q, k, v, content_mask(keys), content_mask(queries),
+                    graph, self.num_heads, renorm,
+                )
+                return self._finish(out, queries)
+
             from structured_alignment_vqa_tpu.ops.pallas_attention import (
                 fused_graph_attention_ln,
             )

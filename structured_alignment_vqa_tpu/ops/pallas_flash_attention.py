@@ -27,13 +27,18 @@ Accumulators live in VMEM scratch and persist across the innermost grid
 dimension (TPU grids iterate sequentially); the output tile is written on the
 last K step. Backward falls back to XLA autodiff of the composite op.
 
-STATUS: correct (parity-tested in interpreter mode and on-chip at L=1536,
-bf16 max diff ~4e-3) but NOT yet performance-competitive — measured 251 ms vs
-7.9 ms for XLA's composite at (B=4, L=1536, C=512, 8 heads, tiles 256x512).
-The per-(batch, q-tile, head) program granularity and the (TQ, 1) accumulator
-layouts need tuning before this becomes the default for the obj+rel regime;
-its current value is memory (no (L, L) materialization) and as the base for
-an ICI ring-attention extension (SURVEY.md section 5.7). Tracked for round 2.
+Measured on v5e at the obj+rel operating point (B=4, L=1536, C=512, 8 heads),
+parity-exact vs the composite (bf16 max diff ~4e-3):
+
+    tiles (256, 1536):  7.1 ms/iter  — faster than XLA's composite (7.9 ms)
+    tiles (512,  768): 11.7 ms/iter
+    tiles (512, 1536): 258  ms/iter  — q_tile=512 spills VMEM; avoid
+    tiles (256,  512): 251  ms/iter  — many tiny K steps; accumulator-bound
+
+Defaults follow the winner: q_tile=256 and the largest k_tile that keeps the
+(TQ, TK) score+graph tiles within budget. The K-streaming path (k_tile < L)
+is the base for an ICI ring-attention extension (SURVEY.md section 5.7); its
+small-tile regime still needs accumulator-layout tuning (round 2).
 """
 
 from __future__ import annotations
@@ -101,13 +106,19 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref,
         out_ref[0, 0] = (out * qm).astype(out_ref.dtype)
 
 
+# default K tile cap: keeps score + graph tiles (q_tile*k_tile*4 bytes each)
+# near 2 MB apiece — measured sweet spot; q_tile=512 spills VMEM
+MAX_K_TILE = 2048
+
+
 def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str,
-                   q_tile: int = 256, k_tile: int = 512, interpret: bool = False):
+                   q_tile: int = 256, k_tile: int | None = None, interpret: bool = False):
     b, l, c = q.shape
     dh = c // num_heads
+    if k_tile is None:
+        k_tile = min(((l + LANE - 1) // LANE) * LANE, MAX_K_TILE)
     lq = ((l + q_tile - 1) // q_tile) * q_tile
     lk = ((l + k_tile - 1) // k_tile) * k_tile
-    lp = max(lq, lk)
 
     def pad(x, axis, size):
         if x.shape[axis] == size:
@@ -185,7 +196,7 @@ def _composite(q, k, v, key_mask, query_mask, graph, num_heads, renorm):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
                           num_heads: int, renorm: str = "l1",
-                          q_tile: int = 256, k_tile: int = 512,
+                          q_tile: int = 256, k_tile: int | None = None,
                           interpret: bool = False):
     """K-blocked fused graph attention; exact, single pass, O(L) memory."""
     return _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads,
