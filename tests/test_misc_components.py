@@ -135,5 +135,3 @@ class TestGloveGraft:
                 np.testing.assert_array_equal(np.asarray(leaf)[:20], table)
                 n_found += 1
         assert n_found == 3  # vis, syb, mil copies (share_glove=False)
-        # PE lookup_tables untouched
-        old_pe = None
