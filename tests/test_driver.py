@@ -73,3 +73,24 @@ def test_eval_driver(fixture_dir, tmp_path):
     )
     assert np.isfinite(loss)
     assert 0.0 <= acc <= 1.0
+
+
+def test_predict_driver(fixture_dir, tmp_path):
+    """Serving CLI: checkpoint -> answer JSONL."""
+    import json as _json
+    from structured_alignment_vqa_tpu.train.main import main
+    from structured_alignment_vqa_tpu.train.predict import main as predict_main
+
+    out = str(tmp_path / "run_pred")
+    main(cli_args(fixture_dir, out, epochs=1))
+    out_file = str(tmp_path / "answers.jsonl")
+    n = predict_main(
+        cli_args(fixture_dir, out, epochs=1)
+        + ["--weight_dir", os.path.join(out, "checkpoints"),
+           "--split", "val", "--q_tar_fn_val", "val.tar", "--out", out_file]
+    )
+    lines = [_json.loads(l) for l in open(out_file)]
+    assert n == len(lines) > 0
+    for rec in lines:
+        assert {"index", "answer_id", "answer"} <= set(rec)
+        assert isinstance(rec["answer"], str)
