@@ -193,6 +193,74 @@ def _composite(q, k, v, key_mask, query_mask, graph, num_heads, renorm):
     return out
 
 
+def _composite_chunked(q, k, v, key_mask, query_mask, graph, num_heads, renorm,
+                       k_chunk: int = 512):
+    """The same online recurrence in plain XLA, scanned over K chunks with a
+    rematerialized body — the backward's working set is O(L * k_chunk) instead
+    of the (B, H, L, L) tensors XLA autodiff of the monolithic op keeps.
+
+    Mathematically identical to :func:`_composite` (same cancellation of the
+    softmax normalizer); used as the VJP target for long sequences.
+    """
+    b, l, c = q.shape
+    dh = c // num_heads
+    nk = (l + k_chunk - 1) // k_chunk
+    lk = nk * k_chunk
+
+    def pad(x, axis):
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, lk - x.shape[axis])
+        return jnp.pad(x, w) if lk != x.shape[axis] else x
+
+    def split_heads(x, length):
+        return x.reshape(b, length, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh = split_heads(q, l).astype(jnp.float32)                      # (B,H,L,dh)
+    kh = split_heads(pad(k, 1), lk).reshape(b, num_heads, nk, k_chunk, dh)
+    vh = split_heads(pad(v, 1), lk).reshape(b, num_heads, nk, k_chunk, dh)
+    kmc = pad(key_mask.astype(jnp.float32), 1).reshape(b, nk, k_chunk)
+    kmc = jnp.moveaxis(kmc, 1, 0)[:, :, None, None, :]   # (nk, B, 1, 1, Tk)
+    gc = pad(graph.astype(jnp.float32), 2).reshape(b, l, nk, k_chunk)
+
+    kh = jnp.moveaxis(kh, 2, 0)          # (nk, B, H, Tk, dh)
+    vh = jnp.moveaxis(vh, 2, 0)
+    gc = jnp.moveaxis(gc, 2, 0)          # (nk, B, L, Tk)
+    scale = 1.0 / (dh ** 0.5)
+
+    def body(carry, tile):
+        m, z, bsum, a = carry
+        kt, vt, gt, kmt = tile
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kt.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(kmt == 0.0, NEG_MASK_VALUE, s)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        pg = p * gt[:, None]
+        z = z * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        bsum = bsum * alpha + jnp.sum(pg, axis=-1, keepdims=True)
+        a = a * alpha + jnp.einsum("bhqk,bhkd->bhqd", pg, vt.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+        return (m_new, z, bsum, a), None
+
+    init = (
+        jnp.full((b, num_heads, l, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((b, num_heads, l, 1), jnp.float32),
+        jnp.zeros((b, num_heads, l, 1), jnp.float32),
+        jnp.zeros((b, num_heads, l, dh), jnp.float32),
+    )
+    (m, z, bsum, a), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (kh, vh, gc, kmc)
+    )
+    if renorm == "l1":
+        out = a / jnp.maximum(bsum, L1_NORM_EPS * z)
+    else:
+        out = a / (bsum + SUM_NORM_EPS * z)
+    out = out * query_mask.astype(jnp.float32)[:, None, :, None]
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+    return out.astype(q.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
                           num_heads: int, renorm: str = "l1",
@@ -211,9 +279,11 @@ def _fwd(q, k, v, key_mask, query_mask, graph, num_heads, renorm, q_tile, k_tile
 
 def _bwd(num_heads, renorm, q_tile, k_tile, interpret, res, g):
     q, k, v, key_mask, query_mask, graph = res
+    # chunked+rematerialized composite: backward working set O(L * k_chunk)
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: _composite(q_, k_, v_, key_mask, query_mask, graph,
-                                      num_heads, renorm),
+        lambda q_, k_, v_: _composite_chunked(
+            q_, k_, v_, key_mask, query_mask, graph, num_heads, renorm
+        ),
         q, k, v,
     )
     dq, dk, dv = vjp(g)

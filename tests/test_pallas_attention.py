@@ -216,3 +216,22 @@ class TestFlashGraphAttention:
         gb = jax.grad(g_, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_chunked_composite_matches(self, rng):
+        """The scan-over-K-chunks composite (used as the memory-efficient VJP
+        target) matches the monolithic composite, values and grads."""
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            _composite, _composite_chunked,
+        )
+
+        q, k, v, km, qm, graph = make_inputs(rng, b=2, l=20, c=16)
+        got = _composite_chunked(q, k, v, km, qm, graph, 4, "l1", k_chunk=8)
+        want = _composite(q, k, v, km, qm, graph, 4, "l1")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+        f = lambda *a: jnp.sum(_composite_chunked(*a, 4, "l1", k_chunk=8) ** 2)
+        g_ = lambda *a: jnp.sum(_composite(*a, 4, "l1") ** 2)
+        ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v, km, qm, graph)
+        gb = jax.grad(g_, argnums=(0, 1, 2))(q, k, v, km, qm, graph)
+        for a, b_ in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
