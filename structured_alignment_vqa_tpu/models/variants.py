@@ -14,6 +14,8 @@ Family map (reference file -> class here; structural knobs in parentheses):
                              -> :class:`X2DecModel` (ids-input symbolic branch,
                                 visGraph option, single/MCB head)
 * `AttModel_x2_fusion_dec[_relatt].py` -> :class:`X2DecModel` (heads='triple')
+* `AttModel_x2_fusion_dec_mil.py`  -> :class:`X2FusionDecMil`
+* `AttModel_x2_fusion_dec_mil2.py` -> :class:`X2FusionDecMil2`
 * `AttModel_x3_ori.py`       -> :class:`X2DecModel` (heads='triple'); the
                                 maintained successor is `att_model_x3.AttModelX3`
 * `AttModel_x5_dec_mil.py`   -> :class:`X5DecMil`
@@ -669,6 +671,189 @@ class X6DecMil(nn.Module):
         return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h), att_weights
 
 
+
+
+class _CrossAlignStack(nn.Module):
+    """Cross alignment: vis queries attend symbolic keys, collecting attention
+    weights for the margin-rank MIL loss (`AttModel_x2_fusion_dec_mil.py:425-456`,
+    `AttModel_x6_dec_mil.py:118-146`)."""
+
+    cfg: ModelConfig
+    n_blocks: int
+    num_units: int
+    keep: str = "all"  # 'all' | 'last'
+
+    @nn.compact
+    def __call__(self, vis_fea, syb_fea, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        att_weights = []
+        for i in range(self.n_blocks):
+            vis_fea, att = GraphMaskAttention(
+                num_units=self.num_units, num_heads=cfg.num_heads, dtype=dt,
+                return_att=True, name=f"align_cross_{i}",
+            )(vis_fea, syb_fea, syb_fea, None, deterministic=deterministic)
+            vis_fea = FeedForward(self.num_units, (4 * self.num_units, self.num_units),
+                                  dtype=dt, name=f"align_cross_ffn_{i}")(vis_fea)
+            att_weights.append(att)
+        if self.keep == "last":
+            att_weights = [att_weights[-1]]
+        return vis_fea, att_weights
+
+
+class _OneTokenDecoder(nn.Module):
+    """Standalone 1-token decoder stack (`AttModel_x2_fusion_dec_mil.py:168-215`)."""
+
+    cfg: ModelConfig
+    pe_table_size: int
+
+    @nn.compact
+    def __call__(self, fea, dec_mask, deterministic=True):
+        from structured_alignment_vqa_tpu.ops.attention import MultiHeadAttention
+        from structured_alignment_vqa_tpu.models.att_model_x3 import BOS_ID
+
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b = fea.shape[0]
+        dec = Embedding(cfg.num_classes, cfg.hidden_size, zeros_pad=True, scale=True,
+                        dtype=dt, name="dec_emb")(jnp.full((b, 1), BOS_ID, jnp.int32))
+        dec = dec + Embedding(self.pe_table_size, cfg.hidden_size, zeros_pad=False,
+                              scale=False, dtype=dt, name="dec_positional_encoding")(
+            jnp.zeros((b, 1), jnp.int32))
+        dec = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(dec)
+        for i in range(cfg.num_blocks):
+            dec = MultiHeadAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, causality=True,
+                dtype=dt, name=f"dec_self_attention_{i}",
+            )(dec, dec, dec, deterministic=deterministic)
+            dec = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"dec_vanilla_attention_{i}",
+            )(dec, fea, fea, dec_mask, deterministic=deterministic)
+            dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"dec_feed_forward_{i}")(dec)
+        return dec
+
+
+class _StagedEncoderOnly(nn.Module):
+    """The x2_dec/x3 staged encoder WITHOUT the decoder; returns the encoded
+    sequence and the decoder mask (`AttModel_x2_fusion_dec_mil.py:97-164`)."""
+
+    cfg: ModelConfig
+    pe_table_size: int
+    ids_input: bool  # symbolic branch embeds [ids ++ q ids] jointly
+
+    @nn.compact
+    def __call__(self, modality, modality_mask, modality_graph, q_ipt, q_graph,
+                 q_mask, glove, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if self.ids_input:
+            b, lm = modality.shape
+            joint = jnp.concatenate([modality, q_ipt], axis=1)
+            fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+                glove(joint))
+        else:
+            b, lm = modality.shape[:2]
+            q_fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(
+                glove(q_ipt)))
+            fea = jnp.concatenate([modality.astype(dt), q_fea], axis=1)
+            fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
+        size = fea.shape[1]
+        fea = fea + Embedding(self.pe_table_size, cfg.hidden_size, zeros_pad=False,
+                              scale=False, dtype=dt, name="syb_positional_encoding")(
+            _positions(b, size))
+        fea = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(fea)
+
+        graph_diag, graph_cross, graph, dec_mask = build_stage_graphs(
+            modality_mask, q_mask, q_graph, modality_graph,
+            use_dec_mask=cfg.use_dec_mask,
+            distinct_cross_stage=cfg.distinct_cross_stage,
+        )
+        for i in range(cfg.num_blocks):
+            g = graph_diag if i < cfg.stage1_blocks else (
+                graph_cross if i < cfg.stage2_blocks else graph)
+            fea = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"enc_self_attention_{i}", use_pallas=cfg.use_pallas_attention,
+            )(fea, fea, fea, g, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+        return fea, dec_mask
+
+
+class X2FusionDecMil(nn.Module):
+    """fusion_dec_mil: split encoders, cross MIL alignment between the encoded
+    sequences, then 1-token decoders — the reference reuses the *visual*
+    decoder for both branches (`AttModel_x2_fusion_dec_mil.py:537-538`), a
+    quirk preserved here. Returns (logits_concat, logits_vis, logits_syb,
+    att_weights)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, syb_ipt,
+                 syb_mask, syb_graph, vis_graph=None, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        vis_glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="vis_syb_emb")
+        syb_glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_syb_emb")
+
+        fea_vis, dec_mask_vis = _StagedEncoderOnly(
+            cfg, cfg.maxlen, ids_input=False, name="att_vis_enc",
+        )(vis_fea, vis_mask, vis_graph, q_ipt, q_graph, q_mask, vis_glove, deterministic)
+        fea_syb, dec_mask_syb = _StagedEncoderOnly(
+            cfg, cfg.maxlen + cfg.maxlen_q, ids_input=True, name="att_syb_enc",
+        )(syb_ipt, syb_mask, syb_graph, q_ipt, q_graph, q_mask, syb_glove, deterministic)
+
+        fea_vis_align, att_weights = _CrossAlignStack(
+            cfg, cfg.num_blocks, cfg.hidden_size, keep="all", name="MIL_align",
+        )(fea_vis, fea_syb, deterministic)
+
+        dec = _OneTokenDecoder(cfg, cfg.maxlen, name="att_vis_dec")
+        dec_vis = dec(fea_vis_align, dec_mask_vis, deterministic)
+        dec_syb = dec(fea_syb, dec_mask_syb, deterministic)  # same weights (quirk)
+
+        def head(prefix, x):
+            x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name=f"{prefix}_hidden")(x))
+            x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
+            return nn.Dense(cfg.num_classes, dtype=dt, name=f"{prefix}_out")(x)
+
+        logits_vis = head("cls_vis", dec_vis)[:, 0]
+        logits_syb = head("cls_syb", dec_syb)[:, 0]
+        fused = jnp.concatenate([dec_vis[:, 0], dec_syb[:, 0]], axis=1)
+        logits_concat = head("cls", fused)
+        return logits_concat, logits_vis, logits_syb, att_weights
+
+
+class X2FusionDecMil2(nn.Module):
+    """fusion_dec_mil2: align the RAW visual features against embedded symbolic
+    nodes *before* the dual encoders (`AttModel_x2_fusion_dec_mil2.py:444-474`);
+    keeps only the last alignment block's weights. Returns (logits_concat,
+    logits_vis, logits_syb, att_weights)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, syb_ipt,
+                 syb_mask, syb_graph, vis_graph=None, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        fea_syb_emb = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp0")(
+            glove(syb_ipt)))
+
+        fea_vis_align, att_weights = _CrossAlignStack(
+            cfg, cfg.num_blocks, cfg.vis_fea_dim, keep="last", name="MIL_align",
+        )(vis_fea.astype(dt), fea_syb_emb, deterministic)
+
+        out = X2DecModel(cfg, heads="triple", name="body")(
+            fea_vis_align, vis_mask, q_ipt, q_mask, q_graph, syb_ipt, syb_mask,
+            syb_graph, vis_graph=vis_graph, deterministic=deterministic,
+        )
+        return out + (att_weights,)
+
+
 # ---- registry: reference model name -> (class, kwargs) --------------------------
 
 VARIANTS = {
@@ -682,6 +867,8 @@ VARIANTS = {
     "x2_syb_dec": (X2DecModel, {"heads": "single"}),
     "x2_fusion_dec": (X2DecModel, {"heads": "triple"}),
     "x2_fusion_dec_relatt": (X2DecModel, {"heads": "triple"}),
+    "x2_fusion_dec_mil": (X2FusionDecMil, {}),
+    "x2_fusion_dec_mil2": (X2FusionDecMil2, {}),
     "x3_ori": (X2DecModel, {"heads": "triple"}),
     "x4_dec": (X4DecModel, {}),
     "x5_dec_mil": (X5DecMil, {}),

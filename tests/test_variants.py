@@ -143,7 +143,8 @@ def test_registry_complete():
     # every transformers/ model family member is mapped
     for name in ("x", "x2", "x2_pre", "x2_distill", "x2_dec", "x2_dec_ori",
                  "x2_mlp_dec", "x2_syb_dec", "x2_fusion_dec",
-                 "x2_fusion_dec_relatt", "x3_ori", "x4_dec", "x5_dec_mil",
+                 "x2_fusion_dec_relatt", "x2_fusion_dec_mil", "x2_fusion_dec_mil2",
+                 "x3_ori", "x4_dec", "x5_dec_mil",
                  "x6_dec_mil", "x7_dec_mil"):
         assert name in VARIANTS
     cfg = tiny_test_config()
@@ -182,3 +183,41 @@ class TestAttMilLoss:
                     slot += 1
         want = float(torch.nn.MarginRankingLoss(margin)(pos_ws, neg_ws, torch.ones(blocks * b * ls)))
         assert abs(got - want) < 1e-5
+
+
+class TestFusionMilFamily:
+    def test_x2_fusion_dec_mil(self, cfg, rng):
+        from structured_alignment_vqa_tpu.models.variants import X2FusionDecMil
+
+        vis, _, q, qm1, qg, syb, sm1, sg = make_inputs(cfg, rng)
+        qm = square(qm1, LQ)
+        sm = square(sm1, LS)
+        vm = square(jnp.ones((B, LV)), LV)
+        model = X2FusionDecMil(cfg)
+        args = (vis, vm, q, qm, qg, syb, sm, sg)
+        params = model.init(jax.random.key(0), *args)
+        lc, lv_, ls_, atts = model.apply(params, *args)
+        for o in (lc, lv_, ls_):
+            check(o, cfg)
+        assert len(atts) == cfg.num_blocks
+        # cross alignment: vis+q queries over syb+q keys
+        assert atts[0].shape == (B, cfg.num_heads, LV + LQ, LS + LQ)
+        # quirk: both branches decode through the SAME (visual) decoder params
+        flat = params["params"]
+        assert "att_vis_dec" in flat and "att_syb_dec" not in flat
+
+    def test_x2_fusion_dec_mil2(self, cfg, rng):
+        from structured_alignment_vqa_tpu.models.variants import X2FusionDecMil2
+
+        vis, _, q, qm1, qg, syb, sm1, sg = make_inputs(cfg, rng)
+        qm = square(qm1, LQ)
+        sm = square(sm1, LS)
+        vm = square(jnp.ones((B, LV)), LV)
+        model = X2FusionDecMil2(cfg)
+        args = (vis, vm, q, qm, qg, syb, sm, sg)
+        params = model.init(jax.random.key(0), *args)
+        lc, lv_, ls_, atts = model.apply(params, *args)
+        for o in (lc, lv_, ls_):
+            check(o, cfg)
+        assert len(atts) == 1  # last block only
+        assert atts[0].shape == (B, cfg.num_heads, LV, LS)
