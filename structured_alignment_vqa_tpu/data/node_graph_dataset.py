@@ -60,6 +60,10 @@ class NodeGraphConfig(DataConfig):
     center_grid_floor_bug: bool = True
     detected_stale_bbox: bool = True
     fea_key: str = "fea"                 # GT loader reads npz['fea'] (`itp_gt:177`)
+    # the plain GT loader and the detected loader tokenize WITHOUT the synonym
+    # converter (`data_loader_itp_gt.py:183`, `data_loader_itp.py`); the bbox
+    # family applies it (`GTRelPredNode:267-271`)
+    use_word_converter: bool = True
 
 
 @dataclasses.dataclass
@@ -458,6 +462,16 @@ class NodeGraphDataset(GQASuperNodeDataset):
 
     # -- sample assembly ----------------------------------------------------------
 
+    def _tok(self, node):
+        if not self.ncfg.use_word_converter:
+            from structured_alignment_vqa_tpu.data.dataset import PAD, UNK
+            from structured_alignment_vqa_tpu.data.graph_builder import PAD_NODE
+
+            if node is PAD_NODE or node == PAD:
+                return PAD
+            return self.enc_w2id.get(node, UNK)
+        return super()._tok(node)
+
     def _sample(self, index: int) -> Optional[NodeSample]:
         cfg = self.ncfg
         qinfo = self.questions.read_json(index)
@@ -572,9 +586,13 @@ def collate_node_graph(samples: Sequence[Optional[NodeSample]], lv: int, ls: int
 def config_for_variant(variant: str, data_dir: str, **kw) -> NodeGraphConfig:
     presets = {
         "itp": dict(node_source="detected", relation_source="freq_dict",
-                    position_nodes="bbox_corners"),
+                    position_nodes="bbox_corners", use_word_converter=False),
         "itp_gt": dict(node_source="gt", relation_source="freq_dict",
-                       position_nodes="center_grid", fea_key="fea"),
+                       position_nodes="none", fea_key="fea",
+                       use_word_converter=False),
+        "itp_gt_loc": dict(node_source="gt", relation_source="freq_dict",
+                           position_nodes="center_grid", fea_key="fea",
+                           use_word_converter=False),
         "itp_gt_bbox": dict(node_source="gt_named", relation_source="freq_dict",
                             position_nodes="bbox_corners"),
         "itp_gt_bbox_gtrel": dict(node_source="gt_named", relation_source="gt",

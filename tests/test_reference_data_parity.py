@@ -141,3 +141,52 @@ def test_collate_matches_reference_on_valid_region(ref_dataset, our_dataset, fix
         assert (np.asarray(our_batch.sample_valid) == 1).all()
     finally:
         sys.path.remove(REF)
+
+
+def test_gt_loader_matches_reference(fixture_dir):
+    """The GT-scene-graph eval loader (`data_loader_itp_gt.py`) vs the
+    'itp_gt' preset: node ids (incl. the off-by-one edge quirk and the
+    no-synonym-converter tokenization), edges, question tokens, answers."""
+    import types
+
+    ref_dl = os.path.join(os.path.dirname(REF), "dataloader")
+    sys.path.insert(0, REF)  # synonym_word_converter import
+    sys.path.insert(0, ref_dl)
+    try:
+        import data_loader_itp_gt as ref_gt
+
+        opt = types.SimpleNamespace(
+            data_dir_azure=fixture_dir,
+            gt_relation_fn="GT_relations_dict_compsite.json",
+            enc_vocab_fn="preprocessed/de.vocab.composite2.tsv",
+            ans_vocab_fn="preprocessed/en.vocab.tsv",
+            obj_vocab_fn="objects_vocab.txt",
+            attr_vocab_fn="attributes_vocab.txt",
+            min_cnt=50,
+        )
+        ref = ref_gt.GQADataset(opt, "gt_bua_npz.tar", "train.tar",
+                                "train_sceneGraphs.json", with_loc=False)
+    finally:
+        sys.path.remove(REF)
+        sys.path.remove(ref_dl)
+
+    from structured_alignment_vqa_tpu.data.node_graph_dataset import (
+        NodeGraphDataset, config_for_variant,
+    )
+
+    cfg = config_for_variant("itp_gt", fixture_dir, q_tar="train.tar",
+                             maxlen=10_000, min_cnt=50)
+    ours = NodeGraphDataset("train", cfg)
+
+    n = 0
+    for i in range(len(ours)):
+        vis_fea, nodes_idx, edges, q_idx, q_edges, answer = ref[i]
+        s = ours.sample(i)
+        assert s is not None, i
+        np.testing.assert_array_equal(s.vis_fea, vis_fea, err_msg=f"vis {i}")
+        np.testing.assert_array_equal(s.node_ids, nodes_idx, err_msg=f"nodes {i}")
+        assert [list(e) for e in s.edges] == [list(e) for e in edges], f"edges {i}"
+        np.testing.assert_array_equal(s.q_ids, q_idx, err_msg=f"q {i}")
+        assert s.answer == int(answer)
+        n += 1
+    assert n >= 10
