@@ -600,10 +600,10 @@ def config_for_variant(variant: str, data_dir: str, **kw) -> NodeGraphConfig:
         "itp_gtWpred_bbox": dict(node_source="gt_with_pred", relation_source="freq_dict",
                                  position_nodes="bbox_corners", topn=5),
         "itp_GTRelPredNode_bbox": dict(node_source="pred_node", relation_source="gt",
-                                       position_nodes="bbox_corners"),
+                                       position_nodes="bbox_corners", fea_key="x"),
         "itp_GTRelPredNode_bbox_freq": dict(node_source="pred_node",
                                             relation_source="freq_dict_geo",
-                                            position_nodes="bbox_corners"),
+                                            position_nodes="bbox_corners", fea_key="x"),
         "itp_bbox_q": dict(node_source="pred_node", relation_source="freq_dict",
                            position_nodes="bbox_corners", emit_idx_of_obj=True),
         "itp_bbox_aug": dict(node_source="pred_node", relation_source="freq_dict",

@@ -190,3 +190,58 @@ def test_gt_loader_matches_reference(fixture_dir):
         assert s.answer == int(answer)
         n += 1
     assert n >= 10
+
+
+def test_gtrelprednode_loader_matches_reference(fixture_dir):
+    """`data_loader_itp_GTRelPredNode_bbox.py` (predicted node labels + GT
+    relation edges) vs the 'itp_GTRelPredNode_bbox' preset."""
+    import types
+
+    ref_dl = os.path.join(os.path.dirname(REF), "dataloader")
+    sys.path.insert(0, REF)
+    sys.path.insert(0, ref_dl)
+    try:
+        import data_loader_itp_GTRelPredNode_bbox as ref_mod
+
+        opt = types.SimpleNamespace(
+            data_dir_azure=fixture_dir,
+            gt_relation_fn="GT_relations_dict_compsite.json",
+            enc_vocab_fn="preprocessed/de.vocab.composite2.tsv",
+            ans_vocab_fn="preprocessed/en.vocab.tsv",
+            obj_vocab_fn="objects_vocab.txt",
+            attr_vocab_fn="attributes_vocab.txt",
+            bbox_bin_num=64,
+            min_cnt=50,
+            bg_class=9,
+        )
+        ref = ref_mod.GQADataset_topN(
+            "train", opt, "gt_bua_npz.tar", "train.tar", "gt_bua_npz.tar",
+            topN=1, with_loc=True, with_gt_relation=True,
+        )
+    finally:
+        sys.path.remove(REF)
+        sys.path.remove(ref_dl)
+
+    from structured_alignment_vqa_tpu.data.node_graph_dataset import (
+        NodeGraphDataset, config_for_variant,
+    )
+
+    cfg = config_for_variant("itp_GTRelPredNode_bbox", fixture_dir,
+                             q_tar="train.tar", maxlen=10_000, min_cnt=50)
+    ours = NodeGraphDataset("train", cfg)
+
+    n = 0
+    for i in range(len(ours)):
+        ref_item = ref[i]
+        if ref_item is None:
+            continue
+        vis_fea, nodes_idx, edges, q_idx, q_edges, answer, idx_of_obj = ref_item
+        s = ours.sample(i)
+        assert s is not None, i
+        np.testing.assert_array_equal(s.vis_fea, vis_fea, err_msg=f"vis {i}")
+        np.testing.assert_array_equal(s.node_ids, nodes_idx, err_msg=f"nodes {i}")
+        assert [list(e) for e in s.edges] == [list(e) for e in edges], f"edges {i}"
+        np.testing.assert_array_equal(s.q_ids, q_idx, err_msg=f"q {i}")
+        assert s.answer == int(answer)
+        n += 1
+    assert n >= 10, n
