@@ -210,11 +210,20 @@ class GQASuperNodeDataset:
             answer=int(answer),
         )
         if not cfg.only_obj:
+            # PAD relation slots tokenize to UNK, not PAD: the reference's
+            # micro-rel tokenization has no PAD special case, so the PAD
+            # sentinel falls through the vocab lookup
+            # (`data_loader_itp_bbox_super_node.py:341-349`)
+            def tok_rel(n):
+                if n is PAD_NODE or n == PAD:
+                    return UNK
+                return self._tok(n)
+
             s.micro_pos_rel = np.asarray(
-                [self._tok(n) for n in graph.micro_pos_rel], dtype=np.int64
+                [tok_rel(n) for n in graph.micro_pos_rel], dtype=np.int64
             )
             s.micro_neg_rel = np.asarray(
-                [self._tok(n) for n in graph.micro_neg_rel], dtype=np.int64
+                [tok_rel(n) for n in graph.micro_neg_rel], dtype=np.int64
             )
             s.micro_pos_rel_loc = (
                 np.asarray(graph.micro_pos_rel_loc, dtype=np.int64).reshape(-1, 5)
