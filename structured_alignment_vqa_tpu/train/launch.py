@@ -41,8 +41,10 @@ PRESETS: Dict[str, Dict] = {
         "batch_size": 4, "model_v": 3, "maxlen": 1600, "maxlen_q": 40,
         "num_blocks": 6, "min_cnt": 50, "dropout_rate": 0.5, "topN": 5,
         "hidden_size_mil": 64, "log_steps": 100,
+        # use_pallas: the flash attention kernel is 1.8x faster than XLA at
+        # this sequence length (docs/DESIGN.md)
         "flags": ["with_loc", "with_dec", "with_bbox", "with_smooth_labeling",
-                  "decMask", "with_MILNCE_loss", "pred_rel"],
+                  "decMask", "with_MILNCE_loss", "pred_rel", "use_pallas"],
     },
 }
 
