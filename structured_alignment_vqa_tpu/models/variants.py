@@ -13,7 +13,9 @@ Family map (reference file -> class here; structural knobs in parentheses):
 * `AttModel_x2_dec[_ori].py`, `AttModel_x2_mlp_dec.py`, `AttModel_x2_syb_dec.py`
                              -> :class:`X2DecModel` (ids-input symbolic branch,
                                 visGraph option, single/MCB head)
-* `AttModel_x2_fusion_dec[_relatt].py` -> :class:`X2DecModel` (heads='triple')
+* `AttModel_x2_fusion_dec.py` -> :class:`X2DecModel` (heads='triple')
+* `AttModel_x2_fusion_dec_relatt.py` -> :class:`X2FusionDecRelatt` (region
+  features substituted into the vis-symbolic node graph)
 * `AttModel_x2_fusion_dec_mil.py`  -> :class:`X2FusionDecMil`
 * `AttModel_x2_fusion_dec_mil2.py` -> :class:`X2FusionDecMil2`
 * `AttModel_x3_ori.py`       -> :class:`X2DecModel` (heads='triple'); the
@@ -854,6 +856,87 @@ class X2FusionDecMil2(nn.Module):
         return out + (att_weights,)
 
 
+
+
+class X2FusionDecRelatt(nn.Module):
+    """fusion_dec_relatt: the visual branch runs over the *vis-symbolic node
+    graph* (loader `emit_visrel` output) with raw region features substituted
+    into the object-node rows before projection
+    (`AttModel_x2_fusion_dec_relatt.py:72-163`); symbolic branch and triple
+    heads as in the x2_dec line. ``vis_syb_link`` is (B, N): region index per
+    vis-symbolic node row, -1 where the row is not an object node."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_syb_ipt, vis_syb_mask, vis_syb_link,
+                 vis_syb_graph, q_ipt, q_mask, q_graph, syb_ipt, syb_mask,
+                 syb_graph, vis_graph_enabled: bool = True,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        from structured_alignment_vqa_tpu.ops.attention import MultiHeadAttention
+
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="vis_syb_emb")
+        b, n_nodes = vis_syb_ipt.shape
+        lq = q_ipt.shape[1]
+        joint = jnp.concatenate([vis_syb_ipt, q_ipt], axis=1)
+        fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(glove(joint)))
+
+        # substitute raw region features into the object-node rows
+        # (`relatt:93-94`): rows with link >= 0 take vis_fea[link]
+        bi = jnp.arange(b)[:, None]
+        region = jnp.clip(vis_syb_link, 0, vis_fea.shape[1] - 1)
+        subst = vis_fea[bi, region].astype(fea.dtype)            # (B, N, 2048)
+        valid = (vis_syb_link >= 0)[..., None]
+        node_part = jnp.where(valid, subst, fea[:, :n_nodes])
+        fea = jnp.concatenate([node_part, fea[:, n_nodes:]], axis=1)
+
+        fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
+        fea = fea + Embedding(cfg.maxlen, cfg.hidden_size, zeros_pad=False,
+                              scale=False, dtype=dt, name="syb_positional_encoding")(
+            _positions(b, n_nodes + lq))
+        fea = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(fea)
+
+        graph_diag, graph_cross, graph, dec_mask = build_stage_graphs(
+            vis_syb_mask, q_mask, q_graph,
+            vis_syb_graph if vis_graph_enabled else None,
+            use_dec_mask=cfg.use_dec_mask,
+            distinct_cross_stage=cfg.distinct_cross_stage,
+        )
+        for i in range(cfg.num_blocks):
+            g = graph_diag if i < cfg.stage1_blocks else (
+                graph_cross if i < cfg.stage2_blocks else graph)
+            fea = GraphGuidedAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"enc_self_attention_{i}", use_pallas=cfg.use_pallas_attention,
+            )(fea, fea, fea, g, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+
+        dec = _OneTokenDecoder(cfg, cfg.maxlen, name="att_vis_dec")(fea, dec_mask, deterministic)
+        fea_vis = dec
+
+        # symbolic branch: standard ids-input staged encoder + decoder
+        syb_glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_syb_emb")
+        fea_s, dec_mask_s = _StagedEncoderOnly(
+            cfg, cfg.maxlen + cfg.maxlen_q, ids_input=True, name="att_syb_enc",
+        )(syb_ipt, syb_mask, syb_graph, q_ipt, q_graph, q_mask, syb_glove, deterministic)
+        fea_syb = _OneTokenDecoder(cfg, cfg.maxlen + cfg.maxlen_q,
+                                   name="att_syb_dec")(fea_s, dec_mask_s, deterministic)
+
+        def head(prefix, x):
+            x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name=f"{prefix}_hidden")(x))
+            x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
+            return nn.Dense(cfg.num_classes, dtype=dt, name=f"{prefix}_out")(x)
+
+        logits_vis = head("cls_vis", fea_vis)[:, 0]
+        logits_syb = head("cls_syb", fea_syb)[:, 0]
+        fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+        logits_concat = head("cls", fused)
+        return logits_concat, logits_vis, logits_syb
+
+
 # ---- registry: reference model name -> (class, kwargs) --------------------------
 
 VARIANTS = {
@@ -866,7 +949,7 @@ VARIANTS = {
     "x2_mlp_dec": (X2DecModel, {"heads": "single"}),
     "x2_syb_dec": (X2DecModel, {"heads": "single"}),
     "x2_fusion_dec": (X2DecModel, {"heads": "triple"}),
-    "x2_fusion_dec_relatt": (X2DecModel, {"heads": "triple"}),
+    "x2_fusion_dec_relatt": (X2FusionDecRelatt, {}),
     "x2_fusion_dec_mil": (X2FusionDecMil, {}),
     "x2_fusion_dec_mil2": (X2FusionDecMil2, {}),
     "x3_ori": (X2DecModel, {"heads": "triple"}),

@@ -221,3 +221,41 @@ class TestFusionMilFamily:
             check(o, cfg)
         assert len(atts) == 1  # last block only
         assert atts[0].shape == (B, cfg.num_heads, LV, LS)
+
+
+class TestRelattVariant:
+    def test_x2_fusion_dec_relatt(self, cfg, rng):
+        from structured_alignment_vqa_tpu.models.variants import X2FusionDecRelatt
+
+        vis, _, q, qm1, qg, syb, sm1, sg = make_inputs(cfg, rng)
+        n_nodes = LS  # vis-symbolic node sequence length
+        vis_syb_ipt = jnp.asarray(rng.integers(1, cfg.vocab_size - 2, (B, n_nodes)), jnp.int32)
+        vis_syb_mask = square(jnp.ones((B, n_nodes)), n_nodes)
+        vis_syb_graph = jnp.asarray((rng.random((B, n_nodes, n_nodes)) > 0.5).astype(np.float32))
+        # object nodes at even rows mapped to regions 0..:
+        link = np.full((B, n_nodes), -1, np.int64)
+        for i in range(B):
+            for r in range(min(LV, n_nodes // 2)):
+                link[i, 2 * r] = r
+        link = jnp.asarray(link, jnp.int32)
+        qm = square(qm1, LQ)
+        sm = square(sm1, LS)
+
+        # vis-branch PE table is sized `maxlen` and indexed up to
+        # n_nodes + lq (reference assumption: maxlen covers the sum)
+        cfg = cfg.replace(maxlen=n_nodes + LQ + 4)
+        model = X2FusionDecRelatt(cfg)
+        args = (vis, vis_syb_ipt, vis_syb_mask, link, vis_syb_graph,
+                q, qm, qg, syb, sm, sg)
+        params = model.init(jax.random.key(0), *args)
+        lc, lv_, ls_ = model.apply(params, *args)
+        for o in (lc, lv_, ls_):
+            check(o, cfg)
+
+        # the substitution must matter: different vis features -> different logits
+        vis2 = vis + 1.0
+        lc2, *_ = model.apply(params, vis2, *args[1:])
+        assert not np.allclose(np.asarray(lc), np.asarray(lc2))
+        # visGraph off -> fully-connected modality block changes outputs
+        lc3, *_ = model.apply(params, *args, vis_graph_enabled=False)
+        assert not np.allclose(np.asarray(lc), np.asarray(lc3))
