@@ -130,9 +130,15 @@ class NodeGraphDataset(GQASuperNodeDataset):
         return nodes, edges, idx_obj
 
     def _nodes_detected(self, data_info, bbox) -> Tuple[List[str], List, List[int], np.ndarray]:
-        """Detected class + attribute per region (`data_loader_itp.py:103-161`)."""
+        """Detected class + attribute per region (`data_loader_itp.py:103-161`).
+
+        The reference expects top-1 npz files (1-D ``objects_id``); topN-style
+        2-D arrays take the top-1 column (the reference would crash on them).
+        """
         objs, attrs = [], []
-        ids = np.asarray(data_info["objects_id"]).reshape(-1)
+        ids = np.asarray(data_info["objects_id"])
+        if ids.ndim > 1:
+            ids = ids[:, 0]
         keep = np.zeros(ids.shape, np.int32)
         last_row = 0
         for row_idx, (oid, aid) in enumerate(zip(ids, data_info["attrs_id"])):
