@@ -48,7 +48,7 @@ UNK = SPECIALS.UNK
 
 @dataclasses.dataclass
 class NodeGraphConfig(DataConfig):
-    node_source: str = "gt"              # 'detected' | 'gt' | 'pred_node'
+    node_source: str = "gt"              # 'detected' | 'gt' | 'gt_named' | 'gt_with_pred' | 'pred_node'
     relation_source: str = "freq_dict"   # 'freq_dict' | 'gt' | 'freq_dict_geo'
     position_nodes: str = "none"         # 'none' | 'bbox_corners' | 'center_grid'
     pos_grid_num: int = 10

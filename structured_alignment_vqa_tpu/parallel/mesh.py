@@ -37,6 +37,13 @@ def make_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh asked for {n_devices} devices but only {len(devs)} "
+                f"exist ({[d.platform for d in devs]}). For a virtual CPU mesh "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "jax.config.update('jax_platforms','cpu') before any jax call."
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_parallel:
@@ -56,4 +63,15 @@ def fitting_mesh(batch_size: int, model_parallel: int = 1) -> Mesh:
     data_ax = max(n // model_parallel, 1)
     while data_ax > 1 and batch_size % data_ax:
         data_ax -= 1
-    return make_mesh(n_devices=data_ax * model_parallel, model_parallel=model_parallel)
+    used = data_ax * model_parallel
+    if used < n:
+        import warnings
+
+        warnings.warn(
+            f"fitting_mesh: batch_size={batch_size} with model_parallel="
+            f"{model_parallel} uses only {used} of {n} devices "
+            f"({n - used} idle). Pick a batch size divisible by "
+            f"{n // model_parallel} to use every device.",
+            stacklevel=2,
+        )
+    return make_mesh(n_devices=used, model_parallel=model_parallel)
