@@ -25,7 +25,22 @@ reference's fill (`modules.py:261`).
 
 Accumulators live in VMEM scratch and persist across the innermost grid
 dimension (TPU grids iterate sequentially); the output tile is written on the
-last K step. Backward falls back to XLA autodiff of the composite op.
+last K step.
+
+Backward is a pair of hand-derived flash-style Pallas kernels (dQ and dK/dV)
+that recompute score tiles from the forward's saved per-row stats (m, z, b).
+The key identity: for the L1 renorm, the gradient of the renorm denominator
+cancels the softmax's rho term exactly, so with n = e*g / max(b, eps*z) (the
+final post-renorm weights), p = e/z, delta_i = dO_i . out_i, and
+ind = [b > eps*z],
+
+    dS = n * (dN - ind*delta) - p * (1-ind) * delta          (l1)
+    dS = n * (dN - delta) - e * delta * eps_s / (b + eps_s*z) (sum_eps)
+
+— i.e. the standard flash backward with the *renormalized* weights in place
+of softmax probs (plus a dead-row correction that is zero on any row with a
+live graph neighbor). Derivation: rho = sum_k p_k dp_k evaluates to
+delta*(1 - ind), because sum_k w_k dN_k = D*delta for either denominator D.
 
 Measured on v5e at the obj+rel operating point (B=4, L=1536, C=512, 8 heads),
 parity-exact vs the composite (bf16 max diff ~4e-3):
@@ -56,7 +71,8 @@ from structured_alignment_vqa_tpu.ops.attention import L1_NORM_EPS, SUM_NORM_EPS
 LANE = 128
 
 
-def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref,
+def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref,
+            out_ref, m_out, z_out, b_out,
             m_acc, z_acc, b_acc, a_acc, *, renorm: str, dh: int):
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -104,6 +120,10 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref, out_ref,
         else:
             out = a / (b + SUM_NORM_EPS * z)
         out_ref[0, 0] = (out * qm).astype(out_ref.dtype)
+        # per-row softmax stats for the hand-derived backward
+        m_out[0, 0] = m_acc[...]
+        z_out[0, 0] = z
+        b_out[0, 0] = b
 
 
 # default K tile cap: keeps score + graph tiles (q_tile*k_tile*4 bytes each)
@@ -144,7 +164,7 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
     nk = lk // k_tile
     kernel = functools.partial(_kernel, renorm=renorm, dh=dh)
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(b, nq, num_heads, nk),
         in_specs=[
@@ -161,9 +181,22 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
             pl.BlockSpec((1, q_tile, k_tile), lambda ib, iq, h, ik: (ib, iq, ik),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, num_heads, lq, dh), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, num_heads, lq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((q_tile, 1), jnp.float32),
             pltpu.VMEM((q_tile, 1), jnp.float32),
@@ -176,11 +209,12 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
             transcendentals=b * num_heads * lq * lk,
         ),
         interpret=interpret,
-    )(qp, kp, vp, km, qm, g)
+    )
+    out, m_stat, z_stat, b_stat = call(qp, kp, vp, km, qm, g)
 
     # (B, H, Lq, dh) -> (B, L, C) with the channel-chunk head layout
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
-    return out[:, :l, :]
+    return out[:, :l, :], m_stat, z_stat, b_stat
 
 
 def _composite(q, k, v, key_mask, query_mask, graph, num_heads, renorm):
@@ -261,32 +295,245 @@ def _composite_chunked(q, k, v, key_mask, query_mask, graph, num_heads, renorm,
     return out.astype(q.dtype)
 
 
+def _ds_tile(q, k, km, g, m, z, bsum, dn, delta, renorm: str, dh: int):
+    """Recompute a score tile and apply the fused renorm+softmax backward.
+
+    All operands are 2-D tiles: q (TQ, dh), k (TK, dh), km (1, TK),
+    g (TQ, TK), per-row stats m/z/bsum/delta (TQ, 1), dn (TQ, TK).
+    Returns (ds (TQ, TK) already scaled by 1/sqrt(dh), n (TQ, TK)).
+    """
+    scale = 1.0 / (dh ** 0.5)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = jnp.where(km == 0.0, NEG_MASK_VALUE, s)
+    e = jnp.exp(s - m)                      # z >= 1 always (m is the row max)
+    p = e / z
+    if renorm == "l1":
+        live = (bsum > L1_NORM_EPS * z).astype(jnp.float32)   # (TQ, 1)
+        n = e * g / jnp.maximum(bsum, L1_NORM_EPS * z)
+        ds = n * (dn - live * delta) - p * ((1.0 - live) * delta)
+    else:
+        denom = bsum + SUM_NORM_EPS * z
+        n = e * g / denom
+        ds = n * (dn - delta) - p * (delta * SUM_NORM_EPS * z / denom)
+    ds = jnp.where(km == 0.0, 0.0, ds) * scale
+    return ds, n
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, kmask_ref, graph_ref,
+                   m_ref, z_ref, b_ref, delta_ref, do_ref,
+                   dq_ref, dq_acc, *, renorm: str, dh: int):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    do = do_ref[0, 0].astype(jnp.float32)   # (TQ, dh)
+    v = v_ref[0, 0]                         # (TK, dh)
+    dn = jax.lax.dot_general(               # dO V^T -> (TQ, TK)
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds, _ = _ds_tile(
+        q_ref[0, 0], k_ref[0, 0], kmask_ref[0], graph_ref[0],
+        m_ref[0, 0], z_ref[0, 0], b_ref[0, 0], dn, delta_ref[0, 0],
+        renorm, dh,
+    )
+    dq_acc[...] += jax.lax.dot_general(     # dS K -> (TQ, dh)
+        ds, k_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, graph_ref,
+                    m_ref, z_ref, b_ref, delta_ref, do_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, renorm: str, dh: int):
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    do = do_ref[0, 0].astype(jnp.float32)   # (TQ, dh)
+    v = v_ref[0, 0]                         # (TK, dh)
+    dn = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds, n = _ds_tile(
+        q_ref[0, 0], k_ref[0, 0], kmask_ref[0], graph_ref[0],
+        m_ref[0, 0], z_ref[0, 0], b_ref[0, 0], dn, delta_ref[0, 0],
+        renorm, dh,
+    )
+    dv_acc[...] += jax.lax.dot_general(     # N^T dO -> (TK, dh)
+        n, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dk_acc[...] += jax.lax.dot_general(     # dS^T Q -> (TK, dh)
+        ds, q_ref[0, 0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat,
+                    b_stat, dy, num_heads: int, renorm: str,
+                    q_tile: int, k_tile: int | None, interpret: bool):
+    """Hand-derived flash backward: returns (dq, dk, dv)."""
+    b, l, c = q.shape
+    dh = c // num_heads
+    if k_tile is None:
+        k_tile = min(((l + LANE - 1) // LANE) * LANE, MAX_K_TILE)
+    lq = ((l + q_tile - 1) // q_tile) * q_tile
+    lk = ((l + k_tile - 1) // k_tile) * k_tile
+
+    def pad(x, axis, size):
+        if x.shape[axis] == size:
+            return x
+        w = [(0, 0)] * x.ndim
+        w[axis] = (0, size - x.shape[axis])
+        return jnp.pad(x, w)
+
+    def split(x, size):
+        x = pad(x, 1, size)
+        return x.reshape(b, size, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qm = query_mask.astype(jnp.float32)
+    dO = dy.astype(jnp.float32) * qm[:, :, None]           # fold qm into dy
+    # delta_i = dO_i . out_i per (batch, head, row) — the flash trick: the
+    # renorm-denominator inner product collapses to a dot with the output.
+    delta = jnp.sum(
+        (dO * out.astype(jnp.float32)).reshape(b, l, num_heads, dh), axis=-1
+    ).transpose(0, 2, 1)[..., None]                        # (B, H, L, 1)
+    delta = pad(delta, 2, lq)
+
+    qp = split(q, lq)
+    kp = split(k, lk)
+    vp = split(v, lk)
+    dop = split(dO.astype(q.dtype), lq)
+    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lk)
+    g = pad(pad(graph.astype(jnp.float32), 1, lq), 2, lk)
+
+    nq = lq // q_tile
+    nk = lk // k_tile
+
+    # dQ: grid (b, nq, h, nk) — q-indexed blocks follow dim 1, k-indexed dim 3
+    q_spec = pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, k_tile, dh), lambda ib, iq, h, ik: (ib, h, ik, 0),
+                          memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, renorm=renorm, dh=dh),
+        grid=(b, nq, num_heads, nk),
+        in_specs=[
+            q_spec, k_spec, k_spec,
+            pl.BlockSpec((1, 1, k_tile), lambda ib, iq, h, ik: (ib, 0, ik),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, k_tile), lambda ib, iq, h, ik: (ib, iq, ik),
+                         memory_space=pltpu.VMEM),
+            stat_spec, stat_spec, stat_spec, stat_spec,
+            q_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_tile, dh), lambda ib, i0, h, i1: (ib, h, i0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, lq, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((q_tile, dh), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * num_heads * lq * lk * dh,
+            bytes_accessed=(4 * b * lk * c + b * lq * lk) * 2,
+            transcendentals=b * num_heads * lq * lk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, km, g, m_stat, z_stat, b_stat, delta, dop)
+
+    # dK/dV: grid (b, nk, h, nq) — q-indexed blocks follow dim 3, k-indexed dim 1
+    stat_spec_kv = pl.BlockSpec((1, 1, q_tile, 1), lambda ib, i0, h, i1: (ib, h, i1, 0),
+                                memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, renorm=renorm, dh=dh),
+        grid=(b, nk, num_heads, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_tile, dh), lambda ib, i0, h, i1: (ib, h, i1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, i0, h, i1: (ib, h, i0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, i0, h, i1: (ib, h, i0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile), lambda ib, i0, h, i1: (ib, 0, i0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, k_tile), lambda ib, i0, h, i1: (ib, i1, i0),
+                         memory_space=pltpu.VMEM),
+            stat_spec_kv, stat_spec_kv, stat_spec_kv, stat_spec_kv,
+            pl.BlockSpec((1, 1, q_tile, dh), lambda ib, i0, h, i1: (ib, h, i1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, i0, h, i1: (ib, h, i0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_tile, dh), lambda ib, i0, h, i1: (ib, h, i0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, num_heads, lk, dh), k.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, lk, dh), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k_tile, dh), jnp.float32),
+            pltpu.VMEM((k_tile, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * num_heads * lq * lk * dh,
+            bytes_accessed=(4 * b * lk * c + b * lq * lk) * 2,
+            transcendentals=b * num_heads * lq * lk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, km, g, m_stat, z_stat, b_stat, delta, dop)
+
+    def merge(x, size):
+        return x.transpose(0, 2, 1, 3).reshape(b, size, c)[:, :l, :]
+
+    return merge(dq, lq), merge(dk, lk), merge(dv, lk)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
                           num_heads: int, renorm: str = "l1",
                           q_tile: int = 256, k_tile: int | None = None,
                           interpret: bool = False):
     """K-blocked fused graph attention; exact, single pass, O(L) memory."""
-    return _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads,
-                          renorm, q_tile, k_tile, interpret)
+    out, _, _, _ = _flash_forward(q, k, v, key_mask, query_mask, graph,
+                                  num_heads, renorm, q_tile, k_tile, interpret)
+    return out
 
 
 def _fwd(q, k, v, key_mask, query_mask, graph, num_heads, renorm, q_tile, k_tile, interpret):
-    out = _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads,
-                         renorm, q_tile, k_tile, interpret)
-    return out, (q, k, v, key_mask, query_mask, graph)
-
-
-def _bwd(num_heads, renorm, q_tile, k_tile, interpret, res, g):
-    q, k, v, key_mask, query_mask, graph = res
-    # chunked+rematerialized composite: backward working set O(L * k_chunk)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _composite_chunked(
-            q_, k_, v_, key_mask, query_mask, graph, num_heads, renorm
-        ),
-        q, k, v,
+    out, m_stat, z_stat, b_stat = _flash_forward(
+        q, k, v, key_mask, query_mask, graph, num_heads, renorm, q_tile,
+        k_tile, interpret,
     )
-    dq, dk, dv = vjp(g)
+    return out, (q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat, b_stat)
+
+
+def _bwd(num_heads, renorm, q_tile, k_tile, interpret, res, dy):
+    q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat, b_stat = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat, b_stat,
+        dy, num_heads, renorm, q_tile, k_tile, interpret,
+    )
     return dq, dk, dv, None, None, None
 
 

@@ -193,22 +193,25 @@ class TestFlashGraphAttention:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-    def test_gradients_via_composite(self, rng):
+    @pytest.mark.parametrize("renorm", ["l1", "sum_eps"])
+    def test_gradients_match_composite(self, rng, renorm):
+        """The hand-derived Pallas backward (dQ + dK/dV kernels) vs XLA
+        autodiff of the composite — multiple tiles in both directions."""
         from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
             flash_graph_attention,
         )
 
-        q, k, v, km, qm, graph = make_inputs(rng, b=1, l=12, c=8)
+        q, k, v, km, qm, graph = make_inputs(rng, b=2, l=20, c=16)
 
         def f(q, k, v):
             return jnp.sum(flash_graph_attention(
-                q, k, v, km, qm, graph, 2, "l1", q_tile=4, k_tile=4, interpret=True
+                q, k, v, km, qm, graph, 2, renorm, q_tile=8, k_tile=8, interpret=True
             ) ** 2)
 
         def g_(q, k, v):
             out, _ = attention_core(
                 q, k, v, key_mask=km, query_mask=qm, num_heads=2,
-                graph=graph, renorm="l1",
+                graph=graph, renorm=renorm,
             )
             return jnp.sum(out ** 2)
 
@@ -216,6 +219,69 @@ class TestFlashGraphAttention:
         gb = jax.grad(g_, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(ga, gb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    @pytest.mark.parametrize("renorm", ["l1", "sum_eps"])
+    def test_gradients_dead_rows(self, rng, renorm):
+        """Rows with zero graph neighbors hit the eps-denominator branch
+        (ind=0): the backward's dead-row correction term must match autodiff
+        of the composite exactly."""
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            flash_graph_attention,
+        )
+
+        q, k, v, km, qm, graph = make_inputs(rng, b=2, l=16, c=16)
+        graph = np.array(graph)
+        graph[0, 3, :] = 0.0   # valid row, no neighbors
+        graph[1, 0, :] = 0.0
+        graph = jnp.asarray(graph)
+
+        def f(q, k, v):
+            return jnp.sum(flash_graph_attention(
+                q, k, v, km, qm, graph, 2, renorm, q_tile=8, k_tile=8, interpret=True
+            ) ** 2)
+
+        def g_(q, k, v):
+            out, _ = attention_core(
+                q, k, v, key_mask=km, query_mask=qm, num_heads=2,
+                graph=graph, renorm=renorm,
+            )
+            return jnp.sum(out ** 2)
+
+        ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gb = jax.grad(g_, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_gradients_masked_tile(self, rng):
+        """A fully key-masked K tile with graph=1 everywhere must produce
+        zero gradient contributions from that tile."""
+        from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+            flash_graph_attention,
+        )
+
+        b, l, c = 1, 16, 16
+        x = rng.standard_normal((b, l, c)).astype(np.float32)
+        x[0, 8:] = 0.0
+        q = jnp.asarray(np.maximum(x, 0) + 0.1 * (x[..., :1] * 0 + 1) * (np.arange(l)[None, :, None] < 8))
+        km = content_mask(jnp.asarray(x))
+        qm = content_mask(jnp.asarray(x))
+        graph = jnp.ones((b, l, l), jnp.float32)
+
+        def f(q):
+            return jnp.sum(flash_graph_attention(
+                q, q, q, km, qm, graph, 2, "l1", q_tile=8, k_tile=8, interpret=True
+            ) ** 2)
+
+        def g_(q):
+            out, _ = attention_core(
+                q, q, q, key_mask=km, query_mask=qm, num_heads=2,
+                graph=graph, renorm="l1",
+            )
+            return jnp.sum(out ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f)(q)), np.asarray(jax.grad(g_)(q)), atol=1e-5
+        )
 
     def test_chunked_composite_matches(self, rng):
         """The scan-over-K-chunks composite (used as the memory-efficient VJP
