@@ -38,13 +38,32 @@ class VQABatch:
     micro_neg_rel: jax.Array   # (B, R) int
     micro_pos_rel_loc: jax.Array  # (B, R, 5) int — [obj_i, obj_j, rel_cat, macro_loc, micro_loc]
     micro_neg_rel_loc: jax.Array  # (B, R, 5) int
-    # Supervision
-    answer: jax.Array         # (B,) int — 0 = out-of-vocab answer
-    sample_valid: jax.Array   # (B,) 0/1 — static-shape replacement for None-dropping
+    # Supervision. Unpacked: (B,). Packed: (B, K) with one entry per pack slot.
+    answer: jax.Array         # int — 0 = out-of-vocab answer
+    sample_valid: jax.Array   # 0/1 — static-shape replacement for None-dropping
+
+    # ---- sequence packing (optional; None on unpacked batches) -------------
+    # Multiple short samples share one row. Per-token segment ids (-1 = pad)
+    # drive block-isolation of the stage graphs; per-token positions restart
+    # at each segment so learned PEs see each sub-sample as if it were alone.
+    # The reference has no equivalent (its collate pads every sample to the
+    # batch max, `...onlyobj.py:341-445`); packing removes that padding waste
+    # on TPU where shapes must be static anyway.
+    vis_seg: jax.Array | None = None    # (B, Lv) int
+    macro_seg: jax.Array | None = None  # (B, Ls) int
+    q_seg: jax.Array | None = None      # (B, Lq) int
+    vis_pos: jax.Array | None = None    # (B, Lv) int — PE position per token
+    macro_pos: jax.Array | None = None  # (B, Ls) int
+    q_pos: jax.Array | None = None      # (B, Lq) int — local (pre-offset) position
 
     @property
     def batch_size(self) -> int:
         return self.vis_fea.shape[0]
+
+    @property
+    def n_pack(self) -> int:
+        """Pack slots per row (1 = unpacked)."""
+        return 1 if self.answer.ndim == 1 else self.answer.shape[1]
 
 
 def zeros_batch(

@@ -419,6 +419,7 @@ class BatchLoader:
         num_procs: int = 0,
         drop_last: bool = True,
         prefetch: int = 64,
+        n_pack: int = 1,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -434,6 +435,12 @@ class BatchLoader:
         self.num_procs = num_procs
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # >1: sequence packing — up to n_pack samples share a row (first-fit
+        # online into open rows; see data/packing.py). only_obj only.
+        self.n_pack = n_pack
+        if n_pack > 1 and not dataset.cfg.only_obj:
+            raise ValueError("sequence packing requires only_obj=True "
+                             "(the relation-MIL compacted indexing is per-sample)")
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -471,6 +478,10 @@ class BatchLoader:
             ex_cm = ThreadPoolExecutor(max_workers=self.num_threads)
             map_fn, map_target = ex_cm.map, self.ds.sample
 
+        packing = self.n_pack > 1
+        if packing:
+            from structured_alignment_vqa_tpu.data.packing import PackedRow, collate_packed
+
         with ex_cm as ex:
             for s in map_fn(map_target, idx, chunksize=16):
                 if s is None:
@@ -480,15 +491,39 @@ class BatchLoader:
                 if bucket is None:
                     n_invalid += 1
                     continue
-                pools[bucket].append(s)
-                if len(pools[bucket]) >= self.batch_size:
-                    batch_samples = pools[bucket][: self.batch_size]
-                    pools[bucket] = pools[bucket][self.batch_size:]
-                    yield collate(batch_samples, bucket, topn)
+                if packing:
+                    # online first-fit into open rows; emit when the sample
+                    # would need a (batch_size+1)-th row
+                    rows = pools[bucket]
+                    for r in rows:
+                        if r.fits(s):
+                            r.add(s)
+                            break
+                    else:
+                        if len(rows) >= self.batch_size:
+                            yield collate_packed(
+                                [r.samples for r in rows], bucket, topn, self.n_pack
+                            )
+                            rows = pools[bucket] = []
+                        row = PackedRow(bucket, self.n_pack)
+                        row.add(s)
+                        rows.append(row)
+                else:
+                    pools[bucket].append(s)
+                    if len(pools[bucket]) >= self.batch_size:
+                        batch_samples = pools[bucket][: self.batch_size]
+                        pools[bucket] = pools[bucket][self.batch_size:]
+                        yield collate(batch_samples, bucket, topn)
         self.last_dropped = n_invalid
 
         if not self.drop_last:
             for bucket, pool in pools.items():
-                if pool:
+                if not pool:
+                    continue
+                if packing:
+                    groups = [r.samples for r in pool]
+                    groups += [None] * (self.batch_size - len(groups))
+                    yield collate_packed(groups, bucket, topn, self.n_pack)
+                else:
                     pad = [None] * (self.batch_size - len(pool))
                     yield collate(pool + pad, bucket, topn)

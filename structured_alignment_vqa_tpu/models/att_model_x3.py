@@ -60,6 +60,9 @@ def build_stage_graphs(
     modality_graph: Optional[jax.Array],
     use_dec_mask: bool,
     distinct_cross_stage: bool = False,
+    mod_seg: Optional[jax.Array] = None,
+    q_seg: Optional[jax.Array] = None,
+    n_pack: int = 1,
 ):
     """Vectorized staged-graph construction (`AttModel_x3.py:103-122,229-247`).
 
@@ -68,10 +71,16 @@ def build_stage_graphs(
       q_mask/q_graph: (B, Lq, Lq) question validity square / adjacency.
       modality_graph: (B, Lm, Lm) adjacency for the final stage's modality
         block — None means fully-connected (the visual branch).
+      mod_seg/q_seg: optional (B, Lm)/(B, Lq) per-token pack-segment ids
+        (-1 = padding). When given, every stage graph is multiplied by the
+        segment-equality matrix, so packed sub-samples are exactly isolated:
+        the L1 renorm after the graph multiply cancels the softmax normalizer,
+        making attention invariant to zero-graph keys from other segments.
+      n_pack: pack slots per row; the decoder gets one query row per slot.
 
     Returns:
       (graph_diag, graph_cross, graph, dec_mask) — all float32; dec_mask is
-      (B, 1, Lm+Lq).
+      (B, n_pack, Lm+Lq).
     """
     b, lm, _ = modality_mask.shape
     lq = q_mask.shape[1]
@@ -98,10 +107,24 @@ def build_stage_graphs(
     # writes above, so by default they are the same tensor.
     graph_cross = (1.0 - mask) if distinct_cross_stage else graph
 
-    if use_dec_mask:
-        dec_mask = (jnp.sum(mask, axis=2) > 0).astype(f32)[:, None, :]
+    seg = None
+    if mod_seg is not None:
+        seg = jnp.concatenate([mod_seg, q_seg], axis=1)          # (B, size)
+        seg_eq = (
+            (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] >= 0)
+        ).astype(f32)
+        graph_diag = graph_diag * seg_eq
+        graph = graph * seg_eq
+        graph_cross = graph if not distinct_cross_stage else graph_cross * seg_eq
+
+    valid = (jnp.sum(mask, axis=2) > 0).astype(f32)              # (B, size)
+    if not use_dec_mask:
+        dec_mask = jnp.zeros((b, n_pack, size), f32)
+    elif seg is None:
+        dec_mask = jnp.broadcast_to(valid[:, None, :], (b, n_pack, size))
     else:
-        dec_mask = jnp.zeros((b, 1, size), f32)
+        slots = jnp.arange(n_pack)[None, :, None]                # (1, K, 1)
+        dec_mask = (seg[:, None, :] == slots).astype(f32) * valid[:, None, :]
     return graph_diag, graph_cross, graph, dec_mask
 
 
@@ -174,6 +197,11 @@ class _EncoderDecoder(nn.Module):
         q_mask: jax.Array,            # (B, Lq, Lq)
         glove: nn.Module,
         deterministic: bool = True,
+        mod_seg: Optional[jax.Array] = None,   # (B, Lm) pack-segment ids
+        q_seg: Optional[jax.Array] = None,     # (B, Lq)
+        mod_pos: Optional[jax.Array] = None,   # (B, Lm) PE positions
+        q_pos: Optional[jax.Array] = None,     # (B, Lq) local PE positions
+        n_pack: int = 1,
     ) -> jax.Array:
         cfg = self.cfg
         b, lm = modality_fea.shape[:2]
@@ -188,7 +216,20 @@ class _EncoderDecoder(nn.Module):
         fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
 
         size = fea.shape[1]
-        pos_ids = jnp.broadcast_to(jnp.arange(size)[None, :], (b, size))
+        if mod_pos is None:
+            pos_ids = jnp.broadcast_to(jnp.arange(size)[None, :], (b, size))
+        else:
+            # Packed rows use *tight-bucket* semantics: each sub-sample sees
+            # exactly the PE ids it would see collated alone with zero padding
+            # (modality tokens 0..n-1; its question tokens offset by its OWN
+            # modality token count, not the row budget). The offset is the
+            # per-segment modality population, computed from the segment ids.
+            mod_count = jnp.sum(
+                (mod_seg[:, None, :] == q_seg[:, :, None])
+                & (mod_seg[:, None, :] >= 0),
+                axis=-1,
+            )                                                    # (B, Lq)
+            pos_ids = jnp.concatenate([mod_pos, q_pos + mod_count], axis=1)
         pe = Embedding(
             self.pe_table_size, cfg.hidden_size, zeros_pad=False, scale=False,
             dtype=dt, name="syb_positional_encoding",
@@ -202,6 +243,7 @@ class _EncoderDecoder(nn.Module):
             modality_mask, q_mask, q_graph, modality_graph,
             use_dec_mask=cfg.use_dec_mask,
             distinct_cross_stage=cfg.distinct_cross_stage,
+            mod_seg=mod_seg, q_seg=q_seg, n_pack=n_pack,
         )
 
         block_cls = (
@@ -216,8 +258,13 @@ class _EncoderDecoder(nn.Module):
                 g = graph
             fea = block_cls(cfg, i, name=f"block_{i}")(fea, g, deterministic)
 
-        # 1-token decoder, BOS id 2 (`AttModel_x3.py:141-156`).
-        dec_ids = jnp.full((b, 1), BOS_ID, jnp.int32)
+        # 1-token-per-sample decoder, BOS id 2 (`AttModel_x3.py:141-156`).
+        # Packed rows carry n_pack decoder tokens, one per pack slot. Each
+        # token must behave exactly like the reference's single token, so
+        # self-attention/FFN run at (B*K, 1, C) — per-token, hitting the exact
+        # 1-token path — while cross-attention runs at (B, K, L) with the
+        # per-slot dec_mask (the L1 renorm restricts it to the slot's segment).
+        dec_ids = jnp.full((b, n_pack), BOS_ID, jnp.int32)
         dec = Embedding(
             cfg.num_classes, cfg.hidden_size, zeros_pad=True, scale=True,
             dtype=dt, name="dec_emb",
@@ -225,15 +272,21 @@ class _EncoderDecoder(nn.Module):
         dec = dec + Embedding(
             self.pe_table_size, cfg.hidden_size, zeros_pad=False, scale=False,
             dtype=dt, name="dec_positional_encoding",
-        )(jnp.zeros((b, 1), jnp.int32))
+        )(jnp.zeros((b, n_pack), jnp.int32))
         dec = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(dec)
 
+        h = cfg.hidden_size
         for i in range(cfg.num_blocks):
             dec = MultiHeadAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads,
                 dropout_rate=0.0, causality=True, dtype=dt,
                 name=f"dec_self_attention_{i}",
-            )(dec, dec, dec, deterministic=deterministic)
+            )(
+                dec.reshape(b * n_pack, 1, h),
+                dec.reshape(b * n_pack, 1, h),
+                dec.reshape(b * n_pack, 1, h),
+                deterministic=deterministic,
+            ).reshape(b, n_pack, h)
             dec = GraphGuidedAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads,
                 dropout_rate=0.0, dtype=dt, name=f"dec_vanilla_attention_{i}",
@@ -242,7 +295,7 @@ class _EncoderDecoder(nn.Module):
                 cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                 dtype=dt, name=f"dec_feed_forward_{i}",
             )(dec)
-        return dec  # (B, 1, hidden)
+        return dec  # (B, n_pack, hidden)
 
 
 class VisualEncoder(nn.Module):
@@ -252,14 +305,16 @@ class VisualEncoder(nn.Module):
     glove: Optional[nn.Module] = None
 
     @nn.compact
-    def __call__(self, vis_fea, vis_mask, q_ids, q_graph, q_mask, deterministic=True):
+    def __call__(self, vis_fea, vis_mask, q_ids, q_graph, q_mask, deterministic=True,
+                 mod_seg=None, q_seg=None, mod_pos=None, q_pos=None, n_pack=1):
         glove = self.glove or GloVeEmbed(
             self.cfg.vocab_size, self.cfg.glove_dim,
             dtype=self.cfg.compute_dtype, name="syb_emb",
         )
         return _EncoderDecoder(
             self.cfg, pe_table_size=self.cfg.maxlen, pe_dropout=True, name="body",
-        )(vis_fea, vis_mask, None, q_ids, q_graph, q_mask, glove, deterministic)
+        )(vis_fea, vis_mask, None, q_ids, q_graph, q_mask, glove, deterministic,
+          mod_seg=mod_seg, q_seg=q_seg, mod_pos=mod_pos, q_pos=q_pos, n_pack=n_pack)
 
 
 class SymbolicEncoder(nn.Module):
@@ -269,7 +324,8 @@ class SymbolicEncoder(nn.Module):
     glove: Optional[nn.Module] = None
 
     @nn.compact
-    def __call__(self, syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, deterministic=True):
+    def __call__(self, syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, deterministic=True,
+                 mod_seg=None, q_seg=None, mod_pos=None, q_pos=None, n_pack=1):
         glove = self.glove or GloVeEmbed(
             self.cfg.vocab_size, self.cfg.glove_dim,
             dtype=self.cfg.compute_dtype, name="syb_emb",
@@ -277,7 +333,8 @@ class SymbolicEncoder(nn.Module):
         return _EncoderDecoder(
             self.cfg, pe_table_size=self.cfg.maxlen + self.cfg.maxlen_q,
             pe_dropout=False, name="body",
-        )(syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, glove, deterministic)
+        )(syb_fea, syb_mask, syb_graph, q_ids, q_graph, q_mask, glove, deterministic,
+          mod_seg=mod_seg, q_seg=q_seg, mod_pos=mod_pos, q_pos=q_pos, n_pack=n_pack)
 
 
 class MILNCEModule(nn.Module):
@@ -440,6 +497,8 @@ class AttModelX3(nn.Module):
     def __call__(self, batch: VQABatch, deterministic: bool = True):
         cfg = self.cfg
         cfg.validate()
+        packed = batch.vis_seg is not None
+        n_pack = batch.n_pack
         shared = (
             GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=cfg.compute_dtype, name="glove")
             if cfg.share_glove else None
@@ -453,14 +512,21 @@ class AttModelX3(nn.Module):
         fea_vis = VisualEncoder(cfg, glove=shared, name="att_vis_grid")(
             batch.vis_fea, batch.vis_mask, batch.q_ipt, batch.q_graph, batch.q_mask,
             deterministic=deterministic,
+            mod_seg=batch.vis_seg, q_seg=batch.q_seg,
+            mod_pos=batch.vis_pos, q_pos=batch.q_pos, n_pack=n_pack,
         )
         fea_syb = SymbolicEncoder(cfg, glove=shared, name="att_syb")(
             new_macro, batch.macro_mask, batch.macro_graph,
             batch.q_ipt, batch.q_graph, batch.q_mask,
             deterministic=deterministic,
+            mod_seg=batch.macro_seg, q_seg=batch.q_seg,
+            mod_pos=batch.macro_pos, q_pos=batch.q_pos, n_pack=n_pack,
         )
-        logits_vis = self._head("cls_vis", fea_vis, deterministic)[:, 0]
-        logits_syb = self._head("cls_syb", fea_syb, deterministic)[:, 0]
+        # Unpacked: logits (B, C). Packed: (B, K, C) — one row per pack slot,
+        # aligned with the (B, K) answer/sample_valid layout.
+        token = slice(None) if packed else 0
+        logits_vis = self._head("cls_vis", fea_vis, deterministic)[:, token]
+        logits_syb = self._head("cls_syb", fea_syb, deterministic)[:, token]
 
         if cfg.use_mcb:
             sketch_rng = np.random.default_rng(self.mcb_sketch_seed)
@@ -474,9 +540,9 @@ class AttModelX3(nn.Module):
             ).value
             fused = compact_bilinear_pooling(fea_syb, fea_vis, s1, s2, cfg.mcb_out)
             fused = nn.Dropout(cfg.dropout_rate_mcb, deterministic=deterministic)(fused)
-            logits_concat = self._head("cls_mcb", fused, deterministic)[:, 0]
+            logits_concat = self._head("cls_mcb", fused, deterministic)[:, token]
         else:
-            fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+            fused = jnp.concatenate([fea_syb[:, token], fea_vis[:, token]], axis=-1)
             logits_concat = self._head("cls", fused, deterministic)
 
         return logits_concat, logits_vis, logits_syb, mil_obj, mil_rel

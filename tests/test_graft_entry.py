@@ -24,7 +24,7 @@ def test_dryrun_multichip_self_configures_without_env_prep():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('DRYRUN_OK')"],
-        cwd=REPO_ROOT, env=env, capture_output=True, timeout=540,
+        cwd=REPO_ROOT, env=env, capture_output=True, timeout=840,
     )
     assert proc.returncode == 0, proc.stderr.decode()[-3000:]
     assert "DRYRUN_OK" in proc.stdout.decode()
