@@ -1,0 +1,161 @@
+"""Train-step microbenchmarks on the attached TPU chip.
+
+Usage: python scripts/bench_train.py [objrel|packed|aligned] ...
+
+Timing uses chained data dependencies (state feeds the next step) plus one
+final host read — `block_until_ready` is not a reliable fence through the
+remote-TPU tunnel (see bench.py).
+
+Workloads:
+  objrel   — the obj+rel production point (`submit.py:87`: maxlen 1600,
+             hidden_size_mil 64): B=4, symbolic encoder length 1536, bf16,
+             flash-kernel path. Round-1 baselines at these shapes: 124 ms/step
+             (composite), 69.5 ms/step (flash fwd + scan-chunked remat bwd).
+  packed   — per-row step time at the obj-only serving point (L=128) for an
+             unpacked batch vs a packed one (n_pack=3): packing's win is
+             rows-per-epoch; this measures the per-row overhead it costs.
+  aligned  — forward at the lane-aligned serving point, composite vs the
+             flash kernel at L=128 (grid (B,1,H,1)) — the VERDICT r1 #5
+             question: can a kernel beat XLA's fusion on aligned shapes?
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from structured_alignment_vqa_tpu.data.synthetic import synthetic_batch
+from structured_alignment_vqa_tpu.models import AttModelX3
+from structured_alignment_vqa_tpu.models.config import ModelConfig
+from structured_alignment_vqa_tpu.parallel.train_step import (
+    TrainState, adam, make_train_step,
+)
+
+
+def time_steps(step, state, batch, rng, n=20, warmup=2):
+    for _ in range(warmup):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])  # forces the chain
+    dt = (time.perf_counter() - t0) / n
+    return dt, state
+
+
+def make_state(model, batch, tx):
+    variables = jax.jit(model.init)(jax.random.key(0), batch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        constants=dict(variables.get("constants", {})),
+    )
+
+
+def bench_objrel(use_pallas=True, remat=False):
+    cfg = ModelConfig(
+        num_classes=1843, num_relations=310, only_obj=False,
+        hidden_size_mil=64, compute_dtype=jnp.bfloat16, share_glove=True,
+        maxlen=1600, maxlen_q=40, maxlen_v=40,
+        use_pallas_attention=use_pallas, remat_blocks=remat,
+    )
+    model = AttModelX3(cfg)
+    batch = synthetic_batch(cfg, batch=4, lv=36, lq=30, ls=1506, n_rel=128, seed=0)
+    tx = adam(1e-4)
+    state = make_state(model, batch, tx)
+    step = make_train_step(model, tx, cfg, with_milnce=True)
+    dt, _ = time_steps(step, state, batch, jax.random.key(1))
+    print(f"objrel train step (pallas={use_pallas}, remat={remat}): {dt*1e3:.1f} ms")
+
+
+def bench_packed():
+    from structured_alignment_vqa_tpu.data.dataset import BatchShape
+    from structured_alignment_vqa_tpu.data.packing import collate_packed
+    from tests.test_packing import mk_sample  # structurally-valid samples
+
+    cfg = ModelConfig(
+        num_classes=1843, num_relations=310, only_obj=True,
+        compute_dtype=jnp.bfloat16, share_glove=True,
+        maxlen=450, maxlen_q=40, maxlen_v=36, vis_fea_dim=2048,
+    )
+    model = AttModelX3(cfg)
+    tx = adam(1e-4)
+
+    unpacked = synthetic_batch(cfg, batch=128, lv=36, lq=30, ls=98, seed=0)
+    state = make_state(model, unpacked, tx)
+    step = make_train_step(model, tx, cfg, with_milnce=True)
+    dt_u, _ = time_steps(step, state, unpacked, jax.random.key(1))
+    print(f"unpacked train step (bs=128, L=128): {dt_u*1e3:.1f} ms "
+          f"-> {128/dt_u:.0f} samples/s")
+
+    rng = np.random.default_rng(0)
+    shape = BatchShape(lv=36, ls=98, lq=30)
+    groups = []
+    for _ in range(128):
+        g = [mk_sample(rng, 12, 32, 10, 1), mk_sample(rng, 12, 32, 10, 2),
+             mk_sample(rng, 12, 32, 9, 3)]
+        groups.append(g)
+    # mk_sample emits 16-d visual features; collate at 16 then swap in 2048-d
+    packed = jax.tree.map(
+        jnp.asarray, collate_packed(groups, shape, 2, n_pack=3, fea_dim=16)
+    )
+    packed = packed.replace(vis_fea=jnp.asarray(
+        rng.standard_normal((128, 36, 2048)).astype(np.float32)))
+    state = make_state(model, packed, tx)
+    step = make_train_step(model, tx, cfg, with_milnce=True)
+    dt_p, _ = time_steps(step, state, packed, jax.random.key(1))
+    print(f"packed   train step (bs=128, L=128, K=3): {dt_p*1e3:.1f} ms "
+          f"-> {3*128/dt_p:.0f} samples/s (at 3x fill)")
+    print(f"per-row packing overhead: {100*(dt_p-dt_u)/dt_u:.1f}%")
+
+
+def bench_aligned():
+    from structured_alignment_vqa_tpu.ops.attention import attention_core, content_mask
+    from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
+        flash_graph_attention,
+    )
+
+    b, l, c, h = 128, 128, 512, 8
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((b, l, c)).astype(np.float32)
+    x[:, 120:] = 0.0
+    q = jnp.asarray(np.maximum(x, 0), jnp.bfloat16)
+    km = content_mask(jnp.asarray(x))
+    graph = jnp.asarray((rng.random((b, l, l)) > 0.5).astype(np.float32))
+
+    @jax.jit
+    def run_composite(q, acc):
+        out, _ = attention_core(q + acc * 1e-6, q, q, key_mask=km, query_mask=km,
+                                num_heads=h, graph=graph, renorm="l1")
+        return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    @jax.jit
+    def run_flash(q, acc):
+        out = flash_graph_attention(q + acc * 1e-6, q, q, km, km, graph, h, "l1",
+                                    q_tile=128, k_tile=128)
+        return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    for name, fn in (("composite", run_composite), ("flash L=128", run_flash)):
+        acc = fn(q, jnp.float32(0.0)); float(acc)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            acc = fn(q, acc)
+        float(acc)
+        print(f"{name}: {(time.perf_counter()-t0)/50*1e3:.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "objrel"
+    if which == "objrel":
+        use_pallas = "--composite" not in sys.argv
+        bench_objrel(use_pallas=use_pallas, remat="--remat" in sys.argv)
+    elif which == "packed":
+        bench_packed()
+    elif which == "aligned":
+        bench_aligned()

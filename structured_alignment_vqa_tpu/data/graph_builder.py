@@ -93,6 +93,49 @@ class SuperNodeGraphBuilder:
         self.only_obj = only_obj
         self.pred_rel = pred_rel
         self._stripped_classes = [c.replace(" ", "") for c in self.vg_classes]
+        self._stripped_attrs = [a.replace(" ", "") for a in self.vg_attrs]
+        # negative-sampling acceleration: name -> every index holding it
+        # (class lists contain duplicate stripped names)
+        self._class_arr = np.asarray(self._stripped_classes, dtype=object)
+        self._name2idx: Dict[str, np.ndarray] = {}
+        for i, c in enumerate(self._stripped_classes):
+            self._name2idx.setdefault(c, []).append(i)
+        self._name2idx = {k: np.asarray(v) for k, v in self._name2idx.items()}
+        # candidate tuples repeat heavily (~10 questions per image share the
+        # same detections); memoize the complement pool per tuple
+        self._pool_cache: Dict[tuple, np.ndarray] = {}
+
+    def _sample_negatives(self, cands, rng: np.random.Generator):
+        """Uniform sample without replacement from classes \\ cands.
+
+        Distribution-equivalent to the reference's
+        ``random.sample([c for c in classes if c not in cands], topn)``
+        (`...onlyobj.py:148-152`) but O(classes) in C instead of a Python list
+        scan per object — the single hottest line of the host pipeline.
+        """
+        key = tuple(cands)
+        pool = self._pool_cache.get(key)
+        if pool is None:
+            mask = np.ones(len(self._class_arr), bool)
+            for name in cands:
+                hit = self._name2idx.get(name)
+                if hit is not None:
+                    mask[hit] = False
+            pool = np.flatnonzero(mask)
+            if len(self._pool_cache) > 4096:
+                self._pool_cache.clear()
+            self._pool_cache[key] = pool
+        k = min(self.topn, len(pool))
+        if k == 0:
+            return []
+        # draw-with-rejection: k << len(pool) so collisions are rare; keeping
+        # the first k *distinct* draws is uniform-without-replacement
+        seen: Dict[int, None] = {}
+        while len(seen) < k:
+            for v in rng.integers(0, len(pool), size=k - len(seen)):
+                seen.setdefault(int(v), None)
+        picks = np.fromiter(seen.keys(), dtype=np.int64)
+        return list(self._class_arr[pool[picks]])
 
     # ---- candidate construction -------------------------------------------------
 
@@ -116,15 +159,14 @@ class SuperNodeGraphBuilder:
                     else:
                         corr = 1
             correct.append(corr)
-            attrs.append(self.vg_attrs[attr_idx].replace(" ", ""))
+            attrs.append(self._stripped_attrs[attr_idx])
             pos.append(cands)
-            negatives_pool = [c for c in self._stripped_classes if c not in cands]
-            # reference: random.sample(pool, topn) raises when the pool is
-            # smaller (only possible with tiny class vocabularies) and the
-            # bare except drops the sample; we draw what exists and let the
-            # ragged-candidates policy decide (see docs/PARITY.md)
-            pick = rng.choice(len(negatives_pool), size=min(self.topn, len(negatives_pool)), replace=False)
-            neg.append([negatives_pool[k] for k in pick])
+            # reference: random.sample([c for c in classes if c not in cands],
+            # topn) — raises when the pool is smaller (only possible with tiny
+            # class vocabularies) and the bare except drops the sample; we draw
+            # what exists and let the ragged-candidates policy decide
+            # (see docs/PARITY.md)
+            neg.append(self._sample_negatives(cands, rng))
         return pos, neg, attrs, correct
 
     # ---- macro skeleton ---------------------------------------------------------
