@@ -115,6 +115,30 @@ def bench_packed():
     print(f"per-row packing overhead: {100*(dt_p-dt_u)/dt_u:.1f}%")
 
 
+def bench_rowcost():
+    """Train-step cost per row at each bucket shape (the packing trade: a
+    bigger row costs more but carries more packed samples; fill factors from
+    the 10k-sample generated dataset are in docs/DESIGN.md)."""
+    shapes = ((50, 108, 20, 128), (100, 216, 40, 64), (100, 344, 40, 32),
+              (100, 216, 40, 128), (100, 344, 40, 64))
+    only = [int(k) for k in sys.argv[2:]] or range(len(shapes))
+    for si in only:
+        lv, ls, lq, bs = shapes[si]
+        cfg = ModelConfig(
+            num_classes=1843, num_relations=310, only_obj=True,
+            compute_dtype=jnp.bfloat16, share_glove=True,
+            maxlen=450, maxlen_q=lq, maxlen_v=lv, vis_fea_dim=2048,
+        )
+        model = AttModelX3(cfg)
+        tx = adam(1e-4)
+        batch = synthetic_batch(cfg, batch=bs, lv=lv, lq=lq, ls=ls, seed=0)
+        state = make_state(model, batch, tx)
+        step = make_train_step(model, tx, cfg, with_milnce=True)
+        dt, _ = time_steps(step, state, batch, jax.random.key(1))
+        print(f"row (lv={lv}, ls={ls}, lq={lq}) bs={bs}: {dt*1e3:.1f} ms "
+              f"-> {dt*1e6/bs:.0f} us/row")
+
+
 def bench_aligned():
     from structured_alignment_vqa_tpu.ops.attention import attention_core, content_mask
     from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
@@ -157,5 +181,7 @@ if __name__ == "__main__":
         bench_objrel(use_pallas=use_pallas, remat="--remat" in sys.argv)
     elif which == "packed":
         bench_packed()
+    elif which == "rowcost":
+        bench_rowcost()
     elif which == "aligned":
         bench_aligned()

@@ -420,6 +420,7 @@ class BatchLoader:
         drop_last: bool = True,
         prefetch: int = 64,
         n_pack: int = 1,
+        pack_bucket: Optional[int] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -437,7 +438,18 @@ class BatchLoader:
         self.prefetch = prefetch
         # >1: sequence packing — up to n_pack samples share a row (first-fit
         # online into open rows; see data/packing.py). only_obj only.
+        # Packed samples route to ``buckets[pack_bucket]`` (default: the
+        # largest bucket) instead of the smallest fitting bucket: at the
+        # production length mix the smallest bucket's rows can only hold one
+        # sample, so smallest-fit routing would leave nothing to pack
+        # (fill/cost measurements in docs/DESIGN.md). Samples too big for the
+        # pack bucket fall back to smallest-fit (their rows pack with
+        # whatever still fits).
         self.n_pack = n_pack
+        self.pack_bucket = (
+            self.buckets[-1 if pack_bucket is None else pack_bucket]
+            if n_pack > 1 else None
+        )
         if n_pack > 1 and not dataset.cfg.only_obj:
             raise ValueError("sequence packing requires only_obj=True "
                              "(the relation-MIL compacted indexing is per-sample)")
@@ -491,6 +503,8 @@ class BatchLoader:
                 if bucket is None:
                     n_invalid += 1
                     continue
+                if packing and self.pack_bucket.fits(s):
+                    bucket = self.pack_bucket
                 if packing:
                     # online first-fit into open rows; emit when the sample
                     # would need a (batch_size+1)-th row

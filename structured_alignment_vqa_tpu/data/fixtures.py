@@ -42,14 +42,37 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
-def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: int = 0) -> dict:
-    """Create the fixture tree under ``root``; returns summary info."""
+def write_fixture(
+    root: str,
+    n_images: int = 12,
+    n_questions: int = 48,
+    seed: int = 0,
+    n_obj_range: tuple = (2, 5),
+    n_words_range: tuple = (2, 6),
+    n_classes: int = len(OBJECTS),
+) -> dict:
+    """Create the fixture tree under ``root``; returns summary info.
+
+    ``n_obj_range`` / ``n_words_range`` are half-open [lo, hi) draws for
+    objects-per-image and words-per-question. The defaults keep the tiny
+    CI-sized fixtures; scale-up runs use GQA-realistic ranges (bottom-up
+    detectors emit 10-36 boxes per image, questions run 3-15 words), which
+    produces the production macro-graph length mix rather than the 10-20
+    token graphs the tiny defaults give. ``n_classes`` > len(OBJECTS) pads
+    the detector class vocabulary with synthetic names (production has 1600
+    classes; tiny vocabularies make topN negative pools run dry — the regime
+    where the reference's ``random.sample`` raises and drops the sample).
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "preprocessed"), exist_ok=True)
 
+    classes = list(OBJECTS) + [
+        f"thing{k:04d}" for k in range(max(0, n_classes - len(OBJECTS)))
+    ]
+
     # --- vocab files ---
     with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
-        for o in OBJECTS:
+        for o in classes:
             f.write(o + "\n")
     with open(os.path.join(root, "attributes_vocab.txt"), "w") as f:
         for a in ATTRS:
@@ -58,7 +81,7 @@ def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: in
     # graph-node vocab: objects, attrs, relations (space-stripped), position
     # nodes, question words
     vocab: List[str] = ["<pad_tok>"]
-    vocab += OBJECTS + ATTRS
+    vocab += classes + ATTRS
     vocab += sorted({v.replace(" ", "") for v in RELATIONS.values()})
     vocab += ["left", "right", "top", "bottom"]
     for x in range(0, 64, 4):
@@ -83,7 +106,7 @@ def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: in
     with tarfile.open(fea_tar_path, "w") as tar:
         for img in range(n_images):
             image_id = f"img{img:04d}"
-            n_obj = int(rng.integers(2, 5))
+            n_obj = int(rng.integers(*n_obj_range))
             fea = rng.standard_normal((n_obj, 2048)).astype(np.float32)
 
             w, h = 640, 480
@@ -94,7 +117,7 @@ def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: in
 
             obj_names = [OBJECTS[int(k)] for k in rng.integers(0, len(OBJECTS), n_obj)]
             objects_id = [
-                list(rng.integers(0, len(OBJECTS), size=6)) for _ in range(n_obj)
+                list(rng.integers(0, len(classes), size=6)) for _ in range(n_obj)
             ]
             attrs_id = [int(rng.integers(0, len(ATTRS))) for _ in range(n_obj)]
             info = {"objects_id": objects_id, "attrs_id": attrs_id}
@@ -138,7 +161,7 @@ def write_fixture(root: str, n_images: int = 12, n_questions: int = 48, seed: in
     for split, n_q in (("train", n_questions), ("val", max(n_questions // 4, 4))):
         with tarfile.open(os.path.join(root, f"{split}.tar"), "w") as tar:
             for qi in range(n_q):
-                n_words = int(rng.integers(2, 6))
+                n_words = int(rng.integers(*n_words_range))
                 nodes = [QUESTION_WORDS[int(k)] for k in rng.integers(0, len(QUESTION_WORDS), n_words)]
                 edges = [
                     [int(a), int(b)]

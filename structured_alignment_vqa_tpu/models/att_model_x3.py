@@ -44,6 +44,7 @@ from structured_alignment_vqa_tpu.ops.attention import (
 )
 from structured_alignment_vqa_tpu.ops.layers import Embedding, FeedForward
 from structured_alignment_vqa_tpu.ops.mcb import compact_bilinear_pooling, count_sketch_matrix
+from structured_alignment_vqa_tpu.ops.quant import QDense, quantized_lookup
 from structured_alignment_vqa_tpu.ops.mil_nce import (
     compact_softmax_gather,
     mil_nce_obj_objective,
@@ -139,9 +140,21 @@ class GloVeEmbed(nn.Module):
     vocab_size: int
     dim: int
     dtype: jnp.dtype = jnp.float32
+    # int8 weight-only serving layout (`ops/quant.py`): int8 rows + per-row
+    # scale, dequantized after the gather so only looked-up rows pay the
+    # conversion and the table sits in HBM at a quarter the size.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, ids: jax.Array) -> jax.Array:
+        if self.quantized:
+            q = self.param(
+                "table_q", nn.initializers.zeros, (self.vocab_size, self.dim), jnp.int8
+            )
+            s = self.param(
+                "table_scale", nn.initializers.ones, (self.vocab_size,), jnp.float32
+            )
+            return quantized_lookup(q, s, ids, self.dtype)
         table = self.param(
             "table", nn.initializers.xavier_normal(), (self.vocab_size, self.dim), jnp.float32
         )
@@ -310,6 +323,7 @@ class VisualEncoder(nn.Module):
         glove = self.glove or GloVeEmbed(
             self.cfg.vocab_size, self.cfg.glove_dim,
             dtype=self.cfg.compute_dtype, name="syb_emb",
+            quantized=self.cfg.int8_serving,
         )
         return _EncoderDecoder(
             self.cfg, pe_table_size=self.cfg.maxlen, pe_dropout=True, name="body",
@@ -329,6 +343,7 @@ class SymbolicEncoder(nn.Module):
         glove = self.glove or GloVeEmbed(
             self.cfg.vocab_size, self.cfg.glove_dim,
             dtype=self.cfg.compute_dtype, name="syb_emb",
+            quantized=self.cfg.int8_serving,
         )
         return _EncoderDecoder(
             self.cfg, pe_table_size=self.cfg.maxlen + self.cfg.maxlen_q,
@@ -365,7 +380,8 @@ class MILNCEModule(nn.Module):
         o = vis_fea.shape[1]
 
         glove = self.glove or GloVeEmbed(
-            cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb"
+            cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb",
+            quantized=cfg.int8_serving,
         )
 
         marco_mlp = nn.Dense(h, dtype=dt, name="marco_mlp")
@@ -489,9 +505,10 @@ class AttModelX3(nn.Module):
     def _head(self, prefix: str, x, deterministic):
         """Linear -> ReLU -> Dropout -> Linear classifier (`AttModel_x3.py:482-508`)."""
         cfg = self.cfg
-        x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=cfg.compute_dtype, name=f"{prefix}_hidden")(x))
+        dense = QDense if cfg.int8_serving else nn.Dense
+        x = jax.nn.relu(dense(cfg.hidden_size, dtype=cfg.compute_dtype, name=f"{prefix}_hidden")(x))
         x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
-        return nn.Dense(cfg.num_classes, dtype=cfg.compute_dtype, name=f"{prefix}_out")(x)
+        return dense(cfg.num_classes, dtype=cfg.compute_dtype, name=f"{prefix}_out")(x)
 
     @nn.compact
     def __call__(self, batch: VQABatch, deterministic: bool = True):
@@ -500,7 +517,8 @@ class AttModelX3(nn.Module):
         packed = batch.vis_seg is not None
         n_pack = batch.n_pack
         shared = (
-            GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=cfg.compute_dtype, name="glove")
+            GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=cfg.compute_dtype,
+                       name="glove", quantized=cfg.int8_serving)
             if cfg.share_glove else None
         )
         new_macro, mil_obj, mil_rel = MILNCEModule(cfg, glove=shared, name="mil_nce")(

@@ -69,6 +69,10 @@ class ModelConfig:
     share_glove: bool = False    # one GloVe table instead of three copies
     use_pallas_attention: bool = False
     remat_blocks: bool = False   # jax.checkpoint over encoder blocks
+    # Weight-only int8 serving: GloVe tables + classifier heads hold int8
+    # weights with f32 scales (`ops/quant.py`); params must come from
+    # `quantize_params` over a trained float checkpoint. Serving only.
+    int8_serving: bool = False
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -34,12 +34,18 @@ def param_pspec(path, value, model_axis_size: int) -> P:
     shape = value.shape
     if model_axis_size <= 1:
         return P()
-    # GloVe / embedding tables: shard the vocab dimension.
-    if name.endswith("table") or name.endswith("lookup_table"):
+    # GloVe / embedding tables: shard the vocab dimension. int8-serving
+    # tables (`ops/quant.py`) shard identically; their per-row scales follow
+    # the same vocab split.
+    if name.endswith(("table", "lookup_table", "table_q")):
         if shape[0] >= _MIN_SHARD_DIM and shape[0] % model_axis_size == 0:
             return P(MODEL_AXIS, None)
         return P()
-    if name.endswith("kernel") and len(shape) == 2:
+    if name.endswith("table_scale"):
+        if shape[0] >= _MIN_SHARD_DIM and shape[0] % model_axis_size == 0:
+            return P(MODEL_AXIS)
+        return P()
+    if name.endswith(("kernel", "kernel_q")) and len(shape) == 2:
         # Column-split the expanding FFN / head kernels, row-split contracting.
         if shape[1] >= shape[0] and shape[1] % model_axis_size == 0 and shape[1] >= 4 * model_axis_size:
             return P(None, MODEL_AXIS)

@@ -57,6 +57,14 @@ class TrainerConfig:
     max_checkpoints: Optional[int] = None
     num_workers: int = 8
     num_procs: int = 0  # loader worker processes (0 = thread pool)
+    # >1: sequence packing — up to n_pack training samples share one
+    # static-shape row (data/packing.py); eval stays unpacked so accuracy
+    # counting matches the reference's per-sample semantics exactly.
+    n_pack: int = 1
+    # bucket index packed rows use (None = largest). At the production
+    # obj-only mix the measured optimum is the middle (256-combined-token)
+    # bucket at full batch size: +35% samples/s (docs/DESIGN.md).
+    pack_bucket: Optional[int] = None
     # capture a JAX profiler trace of training steps [profile_start, profile_start
     # + profile_steps) into <output_dir>/profile (SURVEY.md section 5.1: the reference
     # had no profiling at all)
@@ -113,7 +121,7 @@ def train(
     train_loader = BatchLoader(
         train_ds, tc.batch_size, shuffle=True, seed=tc.seed,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
-        num_procs=tc.num_procs,
+        num_procs=tc.num_procs, n_pack=tc.n_pack, pack_bucket=tc.pack_bucket,
     )
     val_loader = BatchLoader(
         val_ds, tc.batch_size, shuffle=False,

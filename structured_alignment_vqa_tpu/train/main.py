@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. 'cpu' for --local_debug-style runs)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a JAX profiler trace over N training steps")
+    p.add_argument("--n_pack", type=int, default=1,
+                   help="sequence packing: up to N training samples per row "
+                        "(only_obj only; measured throughput in docs/DESIGN.md)")
+    p.add_argument("--pack_bucket", type=int, default=-1,
+                   help="bucket index packed rows use (-1 = largest; 1 is the "
+                        "measured production optimum, docs/DESIGN.md)")
     p.add_argument("--num_procs", type=int, default=0,
                    help="loader worker processes (0 = thread pool)")
     p.add_argument("--use_pallas", action="store_true",
@@ -167,6 +173,8 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         resume=not args.no_resume,
         num_workers=args.num_workers,
         num_procs=args.num_procs,
+        n_pack=args.n_pack,
+        pack_bucket=None if args.pack_bucket < 0 else args.pack_bucket,
         profile_steps=args.profile_steps,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg

@@ -56,6 +56,10 @@ def main(argv=None):
     parser.add_argument("--weight_epoch", type=int, default=None)
     parser.add_argument("--split", type=str, default="val")
     parser.add_argument("--out", type=str, default="-", help="JSONL path or - for stdout")
+    parser.add_argument("--int8", action="store_true",
+                        help="weight-only int8 serving: quantize the GloVe "
+                             "tables and classifier heads after checkpoint "
+                             "load (ops/quant.py)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -75,6 +79,11 @@ def main(argv=None):
     probe = next(iter(loader))
     state = create_train_state(model, jax.random.key(0), probe, adam(trainer_cfg.lr))
     state = load_params_for_eval(args.weight_dir, state, args.weight_epoch)
+    if args.int8:
+        from structured_alignment_vqa_tpu.ops.quant import quantize_params
+
+        model = AttModelX3(model_cfg.replace(int8_serving=True))
+        state = state.replace(params=quantize_params(jax.device_get(state.params)))
     mesh = fitting_mesh(trainer_cfg.batch_size, trainer_cfg.model_parallel)
     state = shard_state(state, mesh)
     predict = make_predict_step(model)

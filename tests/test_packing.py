@@ -207,3 +207,38 @@ class TestPackedRowPlanner:
             assert b.vis_seg is not None
             assert b.answer.ndim == 2
             break
+
+    def test_pack_bucket_routing(self, rng, tmp_path):
+        """With multiple buckets, packed samples route to the pack bucket
+        (default: largest) instead of the smallest fitting one — at the
+        production length mix smallest-fit rows hold only one sample, so
+        routing is where the fill gain comes from (docs/DESIGN.md)."""
+        from structured_alignment_vqa_tpu.data.dataset import (
+            BatchLoader, DataConfig, GQASuperNodeDataset,
+        )
+        from structured_alignment_vqa_tpu.data.fixtures import write_fixture
+
+        d = tmp_path / "data"
+        write_fixture(str(d), n_images=6, n_questions=24, seed=3)
+        cfg = DataConfig(data_dir=str(d), maxlen=128, topn=2)
+        ds = GQASuperNodeDataset("train", cfg)
+        # every sample fits the small bucket alone; only the big one pairs
+        buckets = [BatchShape(16, 48, 16), BatchShape(32, 96, 32)]
+
+        packed = BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                             drop_last=False, num_threads=2, n_pack=3)
+        assert packed.pack_bucket == sorted(buckets)[-1]
+        shapes = set()
+        n_valid = 0
+        multi = 0
+        for b in packed:
+            shapes.add(b.macro_ipt.shape[1])
+            per_row = np.sum(np.asarray(b.sample_valid), axis=1)
+            multi += int(np.sum(per_row > 1))
+            n_valid += int(per_row.sum())
+        assert shapes == {96}  # everything went to the pack bucket
+        assert multi > 0  # and rows actually pair up there
+        plain = BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                            drop_last=False, num_threads=2)
+        n_plain = sum(int(np.sum(np.asarray(b.sample_valid))) for b in plain)
+        assert n_valid == n_plain
