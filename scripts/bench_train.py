@@ -141,6 +141,7 @@ def bench_rowcost():
 
 def bench_aligned():
     from structured_alignment_vqa_tpu.ops.attention import attention_core, content_mask
+    from structured_alignment_vqa_tpu.ops.pallas_attention import fused_graph_attention
     from structured_alignment_vqa_tpu.ops.pallas_flash_attention import (
         flash_graph_attention,
     )
@@ -165,7 +166,13 @@ def bench_aligned():
                                     q_tile=128, k_tile=128)
         return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
 
-    for name, fn in (("composite", run_composite), ("flash L=128", run_flash)):
+    @jax.jit
+    def run_fused(q, acc):
+        out = fused_graph_attention(q + acc * 1e-6, q, q, km, km, graph, h, "l1")
+        return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+    for name, fn in (("composite", run_composite), ("flash L=128", run_flash),
+                     ("fused full-L", run_fused)):
         acc = fn(q, jnp.float32(0.0)); float(acc)
         t0 = time.perf_counter()
         for _ in range(50):
