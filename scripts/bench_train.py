@@ -121,13 +121,15 @@ def bench_rowcost():
     the 10k-sample generated dataset are in docs/DESIGN.md)."""
     shapes = ((50, 108, 20, 128), (100, 216, 40, 64), (100, 344, 40, 32),
               (100, 216, 40, 128), (100, 344, 40, 64))
-    only = [int(k) for k in sys.argv[2:]] or range(len(shapes))
+    use_pallas = "--pallas" in sys.argv
+    only = [int(k) for k in sys.argv[2:] if k.isdigit()] or range(len(shapes))
     for si in only:
         lv, ls, lq, bs = shapes[si]
         cfg = ModelConfig(
             num_classes=1843, num_relations=310, only_obj=True,
             compute_dtype=jnp.bfloat16, share_glove=True,
             maxlen=450, maxlen_q=lq, maxlen_v=lv, vis_fea_dim=2048,
+            use_pallas_attention=use_pallas,
         )
         model = AttModelX3(cfg)
         tx = adam(1e-4)

@@ -132,8 +132,15 @@ class GQASuperNodeDataset:
 
         @functools.lru_cache(maxsize=max(cfg.image_cache_size, 1))
         def _load_image(image_id: str):
-            vis_fea = np.asarray(self.fea_tar.read_npz(image_id)["x"], dtype=np.float32)
+            # feature tar and graph tar are the same archive in the production
+            # layout (`submit.py` passes gt_bua_npz.tar for both): decode the
+            # member once instead of twice (a cache miss costs ~3 ms in npz
+            # decode; this halves it)
             g_npz = self.g_tar.read_npz(image_id, allow_pickle=True)
+            if self.g_tar is self.fea_tar and "x" in g_npz:
+                vis_fea = np.asarray(g_npz["x"], dtype=np.float32)
+            else:
+                vis_fea = np.asarray(self.fea_tar.read_npz(image_id)["x"], dtype=np.float32)
             bbox = quantize_bbox(
                 g_npz["bbox"], g_npz["image_w"], g_npz["image_h"], cfg.bbox_bin_num
             )

@@ -50,6 +50,7 @@ def write_fixture(
     n_obj_range: tuple = (2, 5),
     n_words_range: tuple = (2, 6),
     n_classes: int = len(OBJECTS),
+    bbox_bin_num: int = 64,
 ) -> dict:
     """Create the fixture tree under ``root``; returns summary info.
 
@@ -62,6 +63,15 @@ def write_fixture(
     the detector class vocabulary with synthetic names (production has 1600
     classes; tiny vocabularies make topN negative pools run dry — the regime
     where the reference's ``random.sample`` raises and drops the sample).
+
+    Questions are *learnable*: each asks about one target object by carrying
+    the quantized-corner position token of its bbox (the same ``x{i}y{j}``
+    name the super-node graph builder attaches to that object as a position
+    node), and the answer is the target's object name. Answering requires
+    aligning the question node to the scene-graph position node and reading
+    the object it grounds — the structured-alignment task itself — so
+    training accuracy on the fixture should climb well above the answer
+    prior. ``bbox_bin_num`` must match the loader's ``--bbox_bin_num``.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "preprocessed"), exist_ok=True)
@@ -84,8 +94,10 @@ def write_fixture(
     vocab += classes + ATTRS
     vocab += sorted({v.replace(" ", "") for v in RELATIONS.values()})
     vocab += ["left", "right", "top", "bottom"]
-    for x in range(0, 64, 4):
-        for y in range(0, 64, 4):
+    # every position-node name the quantizer can emit (corners normalized by
+    # image dims then floored into bbox_bin_num bins; == bin_num at the edge)
+    for x in range(0, bbox_bin_num + 1):
+        for y in range(0, bbox_bin_num + 1):
             vocab.append(f"x{x}y{y}")
     vocab += QUESTION_WORDS
     with open(os.path.join(root, "preprocessed", "de.vocab.composite2.tsv"), "w") as f:
@@ -93,7 +105,7 @@ def write_fixture(
             f.write(f"{w} {i + 10}\n")
 
     with open(os.path.join(root, "preprocessed", "en.vocab.tsv"), "w") as f:
-        for a in ANSWERS:
+        for a in dict.fromkeys(ANSWERS + OBJECTS):
             f.write(f"{a} 100\n")
         f.write("rare_answer 1\n")  # below min_cnt, must be filtered
 
@@ -102,6 +114,7 @@ def write_fixture(
 
     # --- per-image features / graphs / GT scene graphs ---
     scene_graphs = {}
+    img_targets = {}  # image_id -> [(obj name, corner-bin position token)]
     fea_tar_path = os.path.join(root, "gt_bua_npz.tar")
     with tarfile.open(fea_tar_path, "w") as tar:
         for img in range(n_images):
@@ -116,6 +129,14 @@ def write_fixture(
             ], axis=1).astype(np.float32)
 
             obj_names = [OBJECTS[int(k)] for k in rng.integers(0, len(OBJECTS), n_obj)]
+            img_targets[image_id] = [
+                (
+                    obj_names[k],
+                    f"x{int(bbox[k][0] / w * bbox_bin_num)}"
+                    f"y{int(bbox[k][1] / h * bbox_bin_num)}",
+                )
+                for k in range(n_obj)
+            ]
             objects_id = [
                 list(rng.integers(0, len(classes), size=6)) for _ in range(n_obj)
             ]
@@ -161,18 +182,27 @@ def write_fixture(
     for split, n_q in (("train", n_questions), ("val", max(n_questions // 4, 4))):
         with tarfile.open(os.path.join(root, f"{split}.tar"), "w") as tar:
             for qi in range(n_q):
+                image_id = image_ids[int(rng.integers(0, len(image_ids)))]
+                targets = img_targets[image_id]
+                name, pos_tok = targets[int(rng.integers(0, len(targets)))]
                 n_words = int(rng.integers(*n_words_range))
-                nodes = [QUESTION_WORDS[int(k)] for k in rng.integers(0, len(QUESTION_WORDS), n_words)]
+                # "what <pos_tok> ..." — the position token names the target
+                # object's quantized corner; fillers are uninformative
+                nodes = ["what", pos_tok] + [
+                    QUESTION_WORDS[int(k)]
+                    for k in rng.integers(0, len(QUESTION_WORDS), max(n_words - 2, 0))
+                ]
+                n_nodes = len(nodes)
                 edges = [
                     [int(a), int(b)]
-                    for a in range(n_words) for b in range(n_words)
+                    for a in range(n_nodes) for b in range(n_nodes)
                     if a != b and rng.random() < 0.4
                 ]
                 qdata = {
                     "node_list": nodes,
                     "edge_pair": edges,
-                    "answer": ANSWERS[int(rng.integers(0, len(ANSWERS)))],
-                    "image_id": image_ids[int(rng.integers(0, len(image_ids)))],
+                    "answer": name,
+                    "image_id": image_id,
                 }
                 _add_bytes(tar, f"{split}/q{qi:05d}.json", json.dumps(qdata).encode())
 

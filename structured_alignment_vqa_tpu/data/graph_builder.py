@@ -104,6 +104,16 @@ class SuperNodeGraphBuilder:
         # candidate tuples repeat heavily (~10 questions per image share the
         # same detections); memoize the complement pool per tuple
         self._pool_cache: Dict[tuple, np.ndarray] = {}
+        # pair-relation lookup acceleration: the reference probes its
+        # frequency dictionary with "name_i,name_j" for every ordered object
+        # pair (`...onlyobj.py:198-241`); indexing by first name lets the
+        # O(n_obj^2) scan skip a whole inner loop when name_i starts no
+        # relation — the common case, since the dict covers a sliver of the
+        # 1600^2 pair space
+        self._rel_by_first: Dict[str, Dict[str, str]] = {}
+        for pair_key, rel in self.gt_relations.items():
+            a, _, b = pair_key.partition(",")
+            self._rel_by_first.setdefault(a, {})[b] = rel
 
     def _sample_negatives(self, cands, rng: np.random.Generator):
         """Uniform sample without replacement from classes \\ cands.
@@ -129,8 +139,16 @@ class SuperNodeGraphBuilder:
         if k == 0:
             return []
         # draw-with-rejection: k << len(pool) so collisions are rare; keeping
-        # the first k *distinct* draws is uniform-without-replacement
+        # the first k *distinct* draws is uniform-without-replacement. Fast
+        # path: one vector draw, accepted outright when already distinct
+        # (>99% of draws at production pool sizes).
+        draw = rng.integers(0, len(pool), size=k)
+        first = draw.tolist()
+        if len(set(first)) == k:
+            return self._class_arr[pool[draw]].tolist()
         seen: Dict[int, None] = {}
+        for v in first:
+            seen.setdefault(v, None)
         while len(seen) < k:
             for v in rng.integers(0, len(pool), size=k - len(seen)):
                 seen.setdefault(int(v), None)
@@ -215,22 +233,27 @@ class SuperNodeGraphBuilder:
         correction applied on first sight (`...onlyobj.py:198-241`)."""
         rel2pos: Dict[str, int] = {}
         num_obj = len(obj_locs)
+        if self.pred_rel:
+            # use the top *detected* label when the detector missed the
+            # GT class. (The reference indexes [1] unconditionally here
+            # and relies on its bare except to drop samples whose
+            # candidate list has a single entry, `...onlyobj.py:202-210`;
+            # we fall back to [0] instead of dropping.)
+            rep = [
+                p[0] if c == 1 else p[min(1, len(p) - 1)]
+                for p, c in zip(pos_obj, correct)
+            ]
+        else:
+            rep = [p[0] for p in pos_obj]
         for i in range(num_obj):
+            sub = self._rel_by_first.get(rep[i])
+            if sub is None:
+                continue
             for j in range(num_obj):
-                if self.pred_rel:
-                    # use the top *detected* label when the detector missed the
-                    # GT class. (The reference indexes [1] unconditionally here
-                    # and relies on its bare except to drop samples whose
-                    # candidate list has a single entry, `...onlyobj.py:202-210`;
-                    # we fall back to [0] instead of dropping.)
-                    name_i = pos_obj[i][0] if correct[i] == 1 else pos_obj[i][min(1, len(pos_obj[i]) - 1)]
-                    name_j = pos_obj[j][0] if correct[j] == 1 else pos_obj[j][min(1, len(pos_obj[j]) - 1)]
-                else:
-                    name_i, name_j = pos_obj[i][0], pos_obj[j][0]
-                key = f"{name_i},{name_j}"
-                if key not in self.gt_relations:
+                rel = sub.get(rep[j])
+                if rel is None:
                     continue
-                r_name = self.gt_relations[key].replace(" ", "")
+                r_name = rel.replace(" ", "")
                 if r_name in rel2pos:
                     pos_rel = rel2pos[r_name]
                 else:

@@ -16,13 +16,67 @@ from __future__ import annotations
 import io
 import json
 import os
+import struct
 import tarfile
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 # (data offset, size) per member
 Entry = Tuple[int, int]
+
+_ZIP_LOCAL_SIG = 0x04034B50
+_ZIP_LOCAL_FMT = "<IHHHHHIIIHH"  # sig..crc32, csize, usize, nlen, elen
+_ZIP_LOCAL_LEN = struct.calcsize(_ZIP_LOCAL_FMT)
+
+
+def _parse_npz(buf: bytes, allow_pickle: bool) -> Dict[str, np.ndarray]:
+    """Decode an in-memory .npz by walking its local zip headers (no CRC)."""
+    out: Dict[str, np.ndarray] = {}
+    off = 0
+    n = len(buf)
+    while off + _ZIP_LOCAL_LEN <= n:
+        (sig, _ver, flags, comp, _mt, _md, _crc, csize, _usize,
+         nlen, elen) = struct.unpack_from(_ZIP_LOCAL_FMT, buf, off)
+        if sig != _ZIP_LOCAL_SIG:
+            break  # central directory: done
+        if flags & 0x8:
+            raise ValueError("zip data descriptor (sizes unknown up front)")
+        name = buf[off + _ZIP_LOCAL_LEN: off + _ZIP_LOCAL_LEN + nlen].decode()
+        if csize == 0xFFFFFFFF or _usize == 0xFFFFFFFF:
+            # np.savez opens members with force_zip64: the real sizes live in
+            # the zip64 extended-info extra field (tag 0x0001: usize, csize)
+            ep = off + _ZIP_LOCAL_LEN + nlen
+            end = ep + elen
+            while ep + 4 <= end:
+                tag, tlen = struct.unpack_from("<HH", buf, ep)
+                if tag == 0x0001:
+                    fp = ep + 4
+                    if _usize == 0xFFFFFFFF:
+                        (_usize,) = struct.unpack_from("<Q", buf, fp)
+                        fp += 8
+                    if csize == 0xFFFFFFFF:
+                        (csize,) = struct.unpack_from("<Q", buf, fp)
+                    break
+                ep += 4 + tlen
+            else:
+                raise ValueError("zip64 sizes missing")
+        start = off + _ZIP_LOCAL_LEN + nlen + elen
+        data = buf[start: start + csize]
+        if comp == 8:
+            data = zlib.decompress(data, -15)
+        elif comp != 0:
+            raise ValueError(f"unsupported zip compression {comp}")
+        if name.endswith(".npy"):
+            name = name[:-4]
+        out[name] = np.lib.format.read_array(
+            io.BytesIO(data), allow_pickle=allow_pickle
+        )
+        off = start + csize
+    if not out:
+        raise ValueError("no zip members found")
+    return out
 
 
 def _python_index(path: str) -> List[Tuple[str, int, int]]:
@@ -92,8 +146,21 @@ class TarIndex:
                 return os.pread(self._fd, size, off)
         raise KeyError(name)
 
-    def read_npz(self, key: str, allow_pickle: bool = False) -> np.lib.npyio.NpzFile:
-        return np.load(io.BytesIO(self.read(key)), allow_pickle=allow_pickle)
+    def read_npz(self, key: str, allow_pickle: bool = False):
+        """Decode an .npz member into {name: array}.
+
+        Fast path: walk the zip *local* file headers directly and hand each
+        stored .npy slice to ``np.lib.format.read_array`` — no ``zipfile``
+        object churn and, decisively, no CRC32 pass over the (hundreds of KB)
+        feature arrays. np.savez writes STORED members with sizes in the
+        local header; anything surprising (compression, data descriptors)
+        falls back to ``np.load``.
+        """
+        buf = self.read(key)
+        try:
+            return _parse_npz(buf, allow_pickle)
+        except Exception:
+            return np.load(io.BytesIO(buf), allow_pickle=allow_pickle)
 
     def read_json(self, key: str):
         return json.loads(self.read(key))

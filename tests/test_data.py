@@ -172,7 +172,8 @@ class TestDataset:
             assert s.vis_fea.shape[1] == 2048
             assert s.micro_pos_obj.shape == (s.vis_fea.shape[0], data_cfg.topn)
             assert (s.macro_ids[np.asarray(s.obj_locs)] == SPECIALS.PAD).all()
-            assert 0 <= s.answer <= 5
+            # answers: ANSWERS + OBJECTS (ids from 1; 0 = out-of-vocab)
+            assert 0 <= s.answer <= 12
         assert n_ok >= 30  # most fixture samples are well-formed
 
     def test_deterministic_sampling(self, data_cfg):
@@ -183,7 +184,8 @@ class TestDataset:
     def test_answer_vocab_min_cnt(self, data_cfg):
         ds = GQASuperNodeDataset("train", data_cfg)
         assert "rare_answer" not in ds.ans_w2id
-        assert len(ds.ans_w2id) == 5
+        # ANSWERS (5) + OBJECTS (8) minus the "man" overlap = 12
+        assert len(ds.ans_w2id) == 12
 
     def test_collate_shapes_and_masks(self, data_cfg):
         ds = GQASuperNodeDataset("train", data_cfg)
