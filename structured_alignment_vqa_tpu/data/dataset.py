@@ -485,10 +485,18 @@ class BatchLoader:
         n_invalid = 0
 
         if self.num_procs > 0:
+            import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
+            # spawn, not fork: the trainer parent has live JAX/TPU-client
+            # threads by the time the pool starts, and forking a
+            # multithreaded process can clone held locks into the children
+            # (observed: 8 workers wedged at 0% CPU under the training CLI).
+            # Spawned workers re-import cleanly and build their own dataset
+            # view in the initializer.
             ex_cm = ProcessPoolExecutor(
                 max_workers=self.num_procs,
+                mp_context=multiprocessing.get_context("spawn"),
                 initializer=_init_worker,
                 initargs=(type(self.ds), self.ds.split, self.ds.cfg),
             )

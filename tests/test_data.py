@@ -230,6 +230,25 @@ class TestDataset:
         assert lc.shape == (4, cfg.num_classes)
         assert np.isfinite(np.asarray(lc)).all()
 
+    def test_process_pool_loader_matches_threads(self, data_cfg):
+        """num_procs>0 (spawn workers — fork would clone the trainer's live
+        JAX threads' locks) must yield the same batches as the thread pool."""
+        ds = GQASuperNodeDataset("train", data_cfg)
+        buckets = [BatchShape(lv=8, ls=64, lq=12, n_rel=0)]
+
+        def collect(loader):
+            out = []
+            for b in loader:
+                out.append((int(np.sum(np.asarray(b.sample_valid))),
+                            np.asarray(b.macro_ipt).sum()))
+            return out
+
+        threads = collect(BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                                      drop_last=False, num_threads=2))
+        procs = collect(BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                                    drop_last=False, num_procs=2))
+        assert procs == threads
+
     def test_sharded_loader_partitions(self, data_cfg):
         ds = GQASuperNodeDataset("train", data_cfg)
         idx0 = BatchLoader(ds, 4, shuffle=False, shard_idx=0, num_shards=2)._indices()
