@@ -287,13 +287,13 @@ def default_buckets(cfg: DataConfig, maxlen_q: int = 40, maxlen_v: int = 100) ->
 
 
 def _square(mask_len: int, size: int) -> np.ndarray:
-    m = np.zeros((size, size), np.int32)
+    m = np.zeros((size, size), np.int8)
     m[:mask_len, :mask_len] = 1
     return m
 
 
 def _edges_to_adj(edges, size: int) -> np.ndarray:
-    a = np.zeros((size, size), np.int32)
+    a = np.zeros((size, size), np.int8)
     if edges:
         e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
         keep = (e[:, 0] < size) & (e[:, 1] < size)
@@ -320,17 +320,17 @@ def collate(
     lv, ls, lq, n_rel = shape.lv, shape.ls, shape.lq, max(shape.n_rel, 1)
 
     vis = np.zeros((b, lv, fea_dim), np.float32)
-    vis_mask = np.zeros((b, lv, lv), np.int32)
+    vis_mask = np.zeros((b, lv, lv), np.int8)
     macro = np.full((b, ls), PAD, np.int64)
-    macro_mask = np.zeros((b, ls, ls), np.int32)
-    macro_graph = np.zeros((b, ls, ls), np.int32)
+    macro_mask = np.zeros((b, ls, ls), np.int8)
+    macro_graph = np.zeros((b, ls, ls), np.int8)
     obj_loc = np.full((b, lv), LOC_PAD, np.int64)
     mpos = np.full((b, lv, topn), PAD, np.int64)
     mneg = np.full((b, lv, topn), PAD, np.int64)
-    mmask = np.zeros((b, lv, topn), np.int32)
+    mmask = np.zeros((b, lv, topn), np.int8)
     q = np.full((b, lq), PAD, np.int64)
-    q_mask = np.zeros((b, lq, lq), np.int32)
-    q_graph = np.zeros((b, lq, lq), np.int32)
+    q_mask = np.zeros((b, lq, lq), np.int8)
+    q_graph = np.zeros((b, lq, lq), np.int8)
     prel = np.full((b, n_rel), PAD, np.int64)
     nrel = np.full((b, n_rel), PAD, np.int64)
     prel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int64)

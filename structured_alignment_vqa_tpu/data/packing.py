@@ -86,21 +86,21 @@ def collate_packed(
     lv, ls, lq = shape.lv, shape.ls, shape.lq
 
     vis = np.zeros((b, lv, fea_dim), np.float32)
-    vis_mask = np.zeros((b, lv, lv), np.int32)
+    vis_mask = np.zeros((b, lv, lv), np.int8)
     vis_seg = np.full((b, lv), -1, np.int32)
     vis_pos = np.zeros((b, lv), np.int32)
     macro = np.full((b, ls), PAD, np.int64)
-    macro_mask = np.zeros((b, ls, ls), np.int32)
-    macro_graph = np.zeros((b, ls, ls), np.int32)
+    macro_mask = np.zeros((b, ls, ls), np.int8)
+    macro_graph = np.zeros((b, ls, ls), np.int8)
     macro_seg = np.full((b, ls), -1, np.int32)
     macro_pos = np.zeros((b, ls), np.int32)
     obj_loc = np.full((b, lv), LOC_PAD, np.int64)
     mpos = np.full((b, lv, topn), PAD, np.int64)
     mneg = np.full((b, lv, topn), PAD, np.int64)
-    mmask = np.zeros((b, lv, topn), np.int32)
+    mmask = np.zeros((b, lv, topn), np.int8)
     q = np.full((b, lq), PAD, np.int64)
-    q_mask = np.zeros((b, lq, lq), np.int32)
-    q_graph = np.zeros((b, lq, lq), np.int32)
+    q_mask = np.zeros((b, lq, lq), np.int8)
+    q_graph = np.zeros((b, lq, lq), np.int8)
     q_seg = np.full((b, lq), -1, np.int32)
     q_pos = np.zeros((b, lq), np.int32)
     answer = np.zeros((b, n_pack), np.int64)

@@ -156,7 +156,7 @@ def train(
         loss_meter, mil_meter = AverageMeter(), AverageMeter()
 
         tracing = False
-        for i, batch in enumerate(train_loader):
+        for i, batch in enumerate(_mesh_iter(train_loader, mesh)):
             if tc.profile_steps and proc == 0 and epoch == start_epoch:
                 if i == tc.profile_start:
                     jax.profiler.start_trace(f"{tc.output_dir}/profile")
@@ -164,7 +164,7 @@ def train(
                 elif tracing and i == tc.profile_start + tc.profile_steps:
                     jax.profiler.stop_trace()
                     tracing = False
-            state, m = train_step(state, put_batch(batch, mesh), rng)
+            state, m = train_step(state, batch, rng)
             bsz = int(m["n"])
             if bsz:
                 loss_meter.update(float(m["loss"]), bsz)
@@ -212,9 +212,23 @@ def train(
     return state
 
 
-def _mesh_iter(loader, mesh):
+def _mesh_iter(loader, mesh, prefetch: int = 2):
+    """Device-put batches ``prefetch`` ahead of consumption.
+
+    device_put is asynchronous, so starting the next batch's host->device
+    transfer while the current step computes hides the transfer behind the
+    step — decisive on a remote-TPU tunnel, where a bs-128 batch is tens of
+    MB even with int8 mask wires.
+    """
+    from collections import deque
+
+    buf = deque()
     for batch in loader:
-        yield put_batch(batch, mesh)
+        buf.append(put_batch(batch, mesh))
+        if len(buf) >= prefetch:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 def graft_glove(params, table: np.ndarray):
