@@ -51,6 +51,7 @@ def write_fixture(
     n_words_range: tuple = (2, 6),
     n_classes: int = len(OBJECTS),
     bbox_bin_num: int = 64,
+    p_easy: float = 0.0,
 ) -> dict:
     """Create the fixture tree under ``root``; returns summary info.
 
@@ -72,6 +73,11 @@ def write_fixture(
     the object it grounds — the structured-alignment task itself — so
     training accuracy on the fixture should climb well above the answer
     prior. ``bbox_bin_num`` must match the loader's ``--bbox_bin_num``.
+
+    ``p_easy``: fraction of questions that *additionally* carry the target's
+    name token — a short-circuit (copy the name) learnable in a few hundred
+    steps, useful to separate "the training loop optimizes" from "the
+    alignment task is hard" in scale-up runs with tight step budgets.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "preprocessed"), exist_ok=True)
@@ -188,7 +194,9 @@ def write_fixture(
                 n_words = int(rng.integers(*n_words_range))
                 # "what <pos_tok> ..." — the position token names the target
                 # object's quantized corner; fillers are uninformative
-                nodes = ["what", pos_tok] + [
+                nodes = ["what", pos_tok] + (
+                    [name] if rng.random() < p_easy else []
+                ) + [
                     QUESTION_WORDS[int(k)]
                     for k in rng.integers(0, len(QUESTION_WORDS), max(n_words - 2, 0))
                 ]

@@ -21,12 +21,18 @@ carry a zero key-mask (softmax mass exp(-2^32) == 0) and padded query rows are
 zeroed by the query mask before the V matmul.
 
 Measured guidance (v5e, hidden 512, 8 heads, bs 128): on *lane-aligned*
-sequence lengths XLA's batched fusion of the composite op is slightly faster
-than this per-batch kernel (inference 14.1 vs 15.4 ms; train step 78.6 vs
-85.7 ms), so ``ModelConfig.use_pallas_attention`` defaults to False. The
-kernel wins when shapes are not aligned (21.1 vs 29.3 ms at L=158) — i.e.
-when the data pipeline cannot bucket to 128-multiples — and is the platform
-for fusions XLA cannot express (the LN epilogue lives here already).
+sequence lengths XLA's batched fusion of the composite op is faster than
+this per-batch kernel — attention core 0.75 vs 0.89 ms at L=128, whole-model
+train step 79.7 vs 87.7 ms even with the hand-derived backward — so
+``ModelConfig.use_pallas_attention`` defaults to False. The roofline reason
+(docs/DESIGN.md "Kernel tier at lane-aligned shapes"): at L=128 the (L, L)
+tile is small enough that XLA already keeps the softmax chain fused around
+*batched* MXU matmuls, while this kernel's per-batch grid runs 8 sequential
+64-wide per-head dots that half-fill MXU tiles. The kernel wins when shapes
+are not aligned (21.1 vs 29.3 ms at L=158) — i.e. when the data pipeline
+cannot bucket to 128-multiples — and is the platform for fusions XLA cannot
+express (the LN epilogue lives here already). For L > 512 the flash kernel
+(`pallas_flash_attention.py`) takes over and wins outright.
 """
 
 from __future__ import annotations
