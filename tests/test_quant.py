@@ -131,3 +131,40 @@ class TestServingInt8:
         qpred = jnp.argmax(ens(qlv, qls, qlc), -1)
         # ensemble argmax unchanged on the fixture batch
         assert np.array_equal(np.asarray(pred), np.asarray(qpred))
+
+
+def test_int8_with_packed_batch():
+    """int8 serving composes with sequence packing: same packed batch, f32 vs
+    int8 weights -> near-identical per-slot logits."""
+    from structured_alignment_vqa_tpu.data.dataset import BatchShape
+    from structured_alignment_vqa_tpu.data.packing import collate_packed
+    from tests.test_packing import mk_sample
+
+    # PAD=400000 flows into the collated id arrays, so the vocab must cover it
+    cfg = tiny_test_config(
+        share_glove=True, vocab_size=401000, glove_dim=8, vis_fea_dim=16,
+        maxlen=64, maxlen_q=12, maxlen_v=8, num_classes=7,
+    )
+    model = AttModelX3(cfg)
+    rng = np.random.default_rng(7)
+    groups = [[mk_sample(rng, 2, 6, 3, 1), mk_sample(rng, 2, 5, 3, 2)],
+              [mk_sample(rng, 3, 7, 4, 3)]]
+    batch = jax.tree.map(
+        jnp.asarray,
+        collate_packed(groups, BatchShape(lv=6, ls=16, lq=8), cfg.topn, n_pack=2,
+                       fea_dim=16),
+    )
+    params = jax.jit(model.init)(jax.random.key(0), batch)["params"]
+    params = jax.tree.map(
+        lambda p: jnp.asarray(
+            p + 0.01 * np.random.default_rng(5).standard_normal(p.shape).astype(p.dtype)),
+        params,
+    )
+    lc, _, _, _, _ = model.apply({"params": params}, batch, deterministic=True)
+    qmodel = AttModelX3(cfg.replace(int8_serving=True))
+    qlc, _, _, _, _ = qmodel.apply(
+        {"params": quantize_params(jax.device_get(params))}, batch, deterministic=True
+    )
+    assert lc.shape == qlc.shape  # (B, K, C) packed layout preserved
+    scale = max(float(jnp.max(jnp.abs(lc))), 1e-3)
+    assert float(jnp.max(jnp.abs(qlc - lc))) / scale < 0.05
