@@ -43,17 +43,21 @@ live graph neighbor). Derivation: rho = sum_k p_k dp_k evaluates to
 delta*(1 - ind), because sum_k w_k dN_k = D*delta for either denominator D.
 
 Measured on v5e at the obj+rel operating point (B=4, L=1536, C=512, 8 heads),
-parity-exact vs the composite (bf16 max diff ~4e-3):
+parity-exact vs the composite (bf16 max diff ~4e-3). Round-2 re-sweep with
+the hand-derived backward in place (fwd / full grad = fwd+bwd, ms/iter):
 
-    tiles (256, 1536):  7.1 ms/iter  — faster than XLA's composite (7.9 ms)
-    tiles (512,  768): 11.7 ms/iter
-    tiles (512, 1536): 258  ms/iter  — q_tile=512 spills VMEM; avoid
-    tiles (256,  512): 251  ms/iter  — many tiny K steps; accumulator-bound
+    tiles (128, 1536):  1.80 fwd   5.2 grad   <- default
+    tiles (256, 1536):  1.94 fwd   165 grad   — bwd kernel VMEM-pathological
+    tiles (256,  768):  1.87 fwd   5.9 grad
+    tiles (512, 1536):  2.24 fwd   4.5 grad   — coarse q padding at odd L
 
-Defaults follow the winner: q_tile=256 and the largest k_tile that keeps the
-(TQ, TK) score+graph tiles within budget. The K-streaming path (k_tile < L)
-is the base for an ICI ring-attention extension (SURVEY.md section 5.7); its
-small-tile regime still needs accumulator-layout tuning (round 2).
+Defaults: q_tile=128 (finest padding granularity at production maxlen 1600,
+within 15% of the best grad time) and the largest k_tile that keeps the
+(TQ, TK) score+graph tiles within budget. NOTE the non-monotonicity: the
+backward at (256, 1536) is 30x slower than its neighbors — re-sweep after
+any kernel change rather than reasoning from tile arithmetic. The
+K-streaming path (k_tile < L) is the base for an ICI ring-attention
+extension (SURVEY.md section 5.7).
 """
 
 from __future__ import annotations
@@ -132,7 +136,7 @@ MAX_K_TILE = 2048
 
 
 def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str,
-                   q_tile: int = 256, k_tile: int | None = None, interpret: bool = False):
+                   q_tile: int = 128, k_tile: int | None = None, interpret: bool = False):
     b, l, c = q.shape
     dh = c // num_heads
     if k_tile is None:
@@ -512,7 +516,7 @@ def _flash_backward(q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
                           num_heads: int, renorm: str = "l1",
-                          q_tile: int = 256, k_tile: int | None = None,
+                          q_tile: int = 128, k_tile: int | None = None,
                           interpret: bool = False):
     """K-blocked fused graph attention; exact, single pass, O(L) memory."""
     out, _, _, _ = _flash_forward(q, k, v, key_mask, query_mask, graph,
