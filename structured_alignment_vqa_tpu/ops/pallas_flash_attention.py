@@ -76,8 +76,20 @@ LANE = 128
 
 
 def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref,
-            out_ref, m_out, z_out, b_out,
-            m_acc, z_acc, b_acc, a_acc, *, renorm: str, dh: int):
+            *refs, renorm: str, dh: int, emit: str):
+    """emit selects the outputs written on the last K step:
+
+    * ``"out"``     — the finished attention output only (inference: the
+                      per-row stats are dead and Pallas outputs can't be
+                      DCE'd, so they must not exist).
+    * ``"stats"``   — output + per-row (m, z, b) stats for the hand-derived
+                      backward (the custom_vjp fwd path).
+    * ``"partial"`` — the *raw* accumulators (a, m, z, b), no renorm division
+                      and no query-mask multiply: the caller merges partials
+                      across K shards (ring attention) and finishes there.
+    """
+    m_acc, z_acc, b_acc, a_acc = refs[-4:]
+    outs = refs[:-4]
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -115,19 +127,28 @@ def _kernel(q_ref, k_ref, v_ref, kmask_ref, qmask_ref, graph_ref,
 
     @pl.when(ik == nk - 1)
     def _():
-        qm = qmask_ref[0].reshape(-1, 1)       # (TQ, 1)
         a = a_acc[...]
         b = b_acc[...]
         z = z_acc[...]
-        if renorm == "l1":
-            out = a / jnp.maximum(b, L1_NORM_EPS * z)
+        if emit == "partial":
+            out_ref, m_out, z_out, b_out = outs
+            out_ref[0, 0] = a
+            m_out[0, 0] = m_acc[...]
+            z_out[0, 0] = z
+            b_out[0, 0] = b
         else:
-            out = a / (b + SUM_NORM_EPS * z)
-        out_ref[0, 0] = (out * qm).astype(out_ref.dtype)
-        # per-row softmax stats for the hand-derived backward
-        m_out[0, 0] = m_acc[...]
-        z_out[0, 0] = z
-        b_out[0, 0] = b
+            qm = qmask_ref[0].reshape(-1, 1)   # (TQ, 1)
+            if renorm == "l1":
+                out = a / jnp.maximum(b, L1_NORM_EPS * z)
+            else:
+                out = a / (b + SUM_NORM_EPS * z)
+            outs[0][0, 0] = (out * qm).astype(outs[0].dtype)
+            if emit == "stats":
+                # per-row softmax stats for the hand-derived backward
+                _, m_out, z_out, b_out = outs
+                m_out[0, 0] = m_acc[...]
+                z_out[0, 0] = z
+                b_out[0, 0] = b
 
 
 # default K tile cap: keeps score + graph tiles (q_tile*k_tile*4 bytes each)
@@ -136,13 +157,24 @@ MAX_K_TILE = 2048
 
 
 def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm: str,
-                   q_tile: int = 128, k_tile: int | None = None, interpret: bool = False):
+                   q_tile: int = 128, k_tile: int | None = None, interpret: bool = False,
+                   emit: str = "stats"):
+    """Run the forward kernel. Returns ``(out, m, z, b)``.
+
+    emit="out":     out is (B, L, C) in q.dtype; stats are None.
+    emit="stats":   out is (B, L, C); stats are (B, H, Lq_pad, 1) f32.
+    emit="partial": out is the raw (B, H, Lq_pad, dh) f32 accumulator (no
+                    renorm division, no query-mask); stats as above. K may be
+                    shorter than L (a ring shard); the q/k lengths pad
+                    independently.
+    """
     b, l, c = q.shape
+    lk_in = k.shape[1]
     dh = c // num_heads
     if k_tile is None:
-        k_tile = min(((l + LANE - 1) // LANE) * LANE, MAX_K_TILE)
+        k_tile = min(((lk_in + LANE - 1) // LANE) * LANE, MAX_K_TILE)
     lq = ((l + q_tile - 1) // q_tile) * q_tile
-    lk = ((l + k_tile - 1) // k_tile) * k_tile
+    lk = ((lk_in + k_tile - 1) // k_tile) * k_tile
 
     def pad(x, axis, size):
         if x.shape[axis] == size:
@@ -160,13 +192,26 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
     qp = split(q, lq)
     kp = split(k, lk)
     vp = split(v, lk)
-    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lk)
+    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, lk_in), 2, lk)
     qm = pad(query_mask.astype(jnp.float32).reshape(b, 1, l), 2, lq)
     g = pad(pad(graph.astype(jnp.float32), 1, lq), 2, lk)
 
     nq = lq // q_tile
     nk = lk // k_tile
-    kernel = functools.partial(_kernel, renorm=renorm, dh=dh)
+    kernel = functools.partial(_kernel, renorm=renorm, dh=dh, emit=emit)
+
+    out_dtype = jnp.float32 if emit == "partial" else q.dtype
+    out_spec = pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                            memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, num_heads, lq, dh), out_dtype)
+    stat_shape = jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32)
+    if emit == "out":
+        out_specs, out_shapes = (out_spec,), (out_shape,)
+    else:
+        out_specs = (out_spec, stat_spec, stat_spec, stat_spec)
+        out_shapes = (out_shape, stat_shape, stat_shape, stat_shape)
 
     call = pl.pallas_call(
         kernel,
@@ -185,22 +230,8 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
             pl.BlockSpec((1, q_tile, k_tile), lambda ib, iq, h, ik: (ib, iq, ik),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, q_tile, dh), lambda ib, iq, h, ik: (ib, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q_tile, 1), lambda ib, iq, h, ik: (ib, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, num_heads, lq, dh), q.dtype),
-            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, num_heads, lq, 1), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((q_tile, 1), jnp.float32),
             pltpu.VMEM((q_tile, 1), jnp.float32),
@@ -214,7 +245,13 @@ def _flash_forward(q, k, v, key_mask, query_mask, graph, num_heads: int, renorm:
         ),
         interpret=interpret,
     )
-    out, m_stat, z_stat, b_stat = call(qp, kp, vp, km, qm, g)
+    res = call(qp, kp, vp, km, qm, g)
+    if emit == "out":
+        out, m_stat, z_stat, b_stat = res[0], None, None, None
+    else:
+        out, m_stat, z_stat, b_stat = res
+    if emit == "partial":
+        return out, m_stat, z_stat, b_stat   # padded (B, H, Lq, dh) f32
 
     # (B, H, Lq, dh) -> (B, L, C) with the channel-chunk head layout
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, c)
@@ -314,7 +351,9 @@ def _ds_tile(q, k, km, g, m, z, bsum, dn, delta, renorm: str, dh: int):
     e = jnp.exp(s - m)                      # z >= 1 always (m is the row max)
     p = e / z
     if renorm == "l1":
-        live = (bsum > L1_NORM_EPS * z).astype(jnp.float32)   # (TQ, 1)
+        # >= matches max()'s tie convention: at b == eps*z the forward divides
+        # by b (the first operand), so the row is "live" (ADVICE r2).
+        live = (bsum >= L1_NORM_EPS * z).astype(jnp.float32)  # (TQ, 1)
         n = e * g / jnp.maximum(bsum, L1_NORM_EPS * z)
         ds = n * (dn - live * delta) - p * ((1.0 - live) * delta)
     else:
@@ -395,13 +434,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, graph_ref,
 def _flash_backward(q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat,
                     b_stat, dy, num_heads: int, renorm: str,
                     q_tile: int, k_tile: int | None, interpret: bool):
-    """Hand-derived flash backward: returns (dq, dk, dv)."""
+    """Hand-derived flash backward: returns (dq, dk, dv).
+
+    K/V may be shorter than Q (a ring shard): q/k lengths pad independently,
+    and the per-row stats must then be the *global* (all-shard-merged) ones.
+    """
     b, l, c = q.shape
+    lk_in = k.shape[1]
     dh = c // num_heads
     if k_tile is None:
-        k_tile = min(((l + LANE - 1) // LANE) * LANE, MAX_K_TILE)
+        k_tile = min(((lk_in + LANE - 1) // LANE) * LANE, MAX_K_TILE)
     lq = ((l + q_tile - 1) // q_tile) * q_tile
-    lk = ((l + k_tile - 1) // k_tile) * k_tile
+    lk = ((lk_in + k_tile - 1) // k_tile) * k_tile
 
     def pad(x, axis, size):
         if x.shape[axis] == size:
@@ -427,7 +471,7 @@ def _flash_backward(q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat,
     kp = split(k, lk)
     vp = split(v, lk)
     dop = split(dO.astype(q.dtype), lq)
-    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, l), 2, lk)
+    km = pad(key_mask.astype(jnp.float32).reshape(b, 1, lk_in), 2, lk)
     g = pad(pad(graph.astype(jnp.float32), 1, lq), 2, lk)
 
     nq = lq // q_tile
@@ -507,10 +551,10 @@ def _flash_backward(q, k, v, key_mask, query_mask, graph, out, m_stat, z_stat,
         interpret=interpret,
     )(qp, kp, vp, km, g, m_stat, z_stat, b_stat, delta, dop)
 
-    def merge(x, size):
-        return x.transpose(0, 2, 1, 3).reshape(b, size, c)[:, :l, :]
+    def merge(x, size, trim):
+        return x.transpose(0, 2, 1, 3).reshape(b, size, c)[:, :trim, :]
 
-    return merge(dq, lq), merge(dk, lk), merge(dv, lk)
+    return merge(dq, lq, l), merge(dk, lk, lk_in), merge(dv, lk, lk_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
@@ -520,7 +564,8 @@ def flash_graph_attention(q, k, v, key_mask, query_mask, graph,
                           interpret: bool = False):
     """K-blocked fused graph attention; exact, single pass, O(L) memory."""
     out, _, _, _ = _flash_forward(q, k, v, key_mask, query_mask, graph,
-                                  num_heads, renorm, q_tile, k_tile, interpret)
+                                  num_heads, renorm, q_tile, k_tile, interpret,
+                                  emit="out")
     return out
 
 
