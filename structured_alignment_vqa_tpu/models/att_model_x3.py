@@ -178,6 +178,8 @@ class _EncBlock(nn.Module):
             dropout_rate=0.0, dtype=cfg.compute_dtype,
             name=f"enc_self_attention_{self.idx}",
             use_pallas=cfg.use_pallas_attention,
+            ring_axis=cfg.seq_axis,
+            seq_impl=cfg.seq_impl,
         )(fea, fea, fea, graph, deterministic=deterministic)
         return FeedForward(
             cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),

@@ -69,6 +69,15 @@ class ModelConfig:
     share_glove: bool = False    # one GloVe table instead of three copies
     use_pallas_attention: bool = False
     remat_blocks: bool = False   # jax.checkpoint over encoder blocks
+    # Sequence-parallel encoder attention: mesh axis name to ring-shard the
+    # encoder token sequence over (see `ops/ring_attention.py`). Requires an
+    # ambient mesh (parallel/context.use_mesh) carrying that axis; engages
+    # only in the encoder self-attention blocks.
+    seq_axis: "str | None" = None
+    # sequence-parallel implementation: "ring" (ppermute, graph row-sharded,
+    # any n dividing L) or "ulysses" (all-to-all head sharding, lower comm,
+    # graph replicated, n must divide num_heads) — docs/DESIGN.md
+    seq_impl: str = "ring"
     # Weight-only int8 serving: GloVe tables + classifier heads hold int8
     # weights with f32 scales (`ops/quant.py`); params must come from
     # `quantize_params` over a trained float checkpoint. Serving only.

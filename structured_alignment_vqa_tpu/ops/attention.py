@@ -159,6 +159,15 @@ class _AttentionBase(nn.Module):
     return_att: bool = False
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Sequence-parallel ring attention (`ops/ring_attention.py`): the mesh
+    # axis name to shard the token sequence over, or None. Engages only for
+    # graph-guided self-attention when the ambient mesh (parallel/context.py)
+    # has that axis with size > 1 and L divides it; falls back otherwise.
+    ring_axis: Optional[str] = None
+    # "ring" (ppermute K/V rotation, graph row-sharded) or "ulysses"
+    # (all-to-all head sharding, graph replicated) — trade-offs in
+    # docs/DESIGN.md "Ring vs Ulysses"
+    seq_impl: str = "ring"
 
     def _project(self, queries, keys, values):
         q = jax.nn.relu(nn.Dense(self.num_units, dtype=self.dtype, name="q_proj")(queries))
@@ -206,6 +215,52 @@ class _AttentionBase(nn.Module):
         rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
+
+        # Ring (sequence-sharded) path: graph-guided self-attention with the
+        # token sequence sharded over a mesh axis, K/V blocks rotating over
+        # ICI (SURVEY.md section 5.7's extension the reference never built).
+        if (
+            self.ring_axis is not None
+            and graph is not None
+            and renorm in ("l1", "sum_eps")
+            and not self.causality
+            and not self.return_att
+            and rng is None
+            and queries.shape == keys.shape
+        ):
+            from structured_alignment_vqa_tpu.ops.ring_attention import (
+                ring_graph_attention,
+            )
+            from structured_alignment_vqa_tpu.parallel.context import current_mesh
+            from structured_alignment_vqa_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = current_mesh()
+            n_seq = mesh.shape.get(self.ring_axis, 1) if mesh is not None else 1
+            if n_seq > 1:
+                if queries.shape[1] % n_seq:
+                    import warnings
+
+                    warnings.warn(
+                        f"ring attention skipped: L={queries.shape[1]} not "
+                        f"divisible by {self.ring_axis}={n_seq}; falling back "
+                        "to the single-device kernel (pick bucket maxlens "
+                        "divisible by the seq axis)",
+                        stacklevel=2,
+                    )
+                else:
+                    if self.seq_impl == "ulysses":
+                        from structured_alignment_vqa_tpu.ops.ulysses_attention import (
+                            ulysses_graph_attention as seq_attention,
+                        )
+                    else:
+                        seq_attention = ring_graph_attention
+                    out = seq_attention(
+                        q, k, v, content_mask(keys), content_mask(queries),
+                        graph, self.num_heads, renorm,
+                        mesh=mesh, seq_axis=self.ring_axis,
+                        batch_axis=DATA_AXIS,
+                    )
+                    return self._finish(out, queries)
 
         # Fused Pallas path: self-attention-shaped graph attention with no
         # dropout and no attention-weights output (the hot encoder blocks).

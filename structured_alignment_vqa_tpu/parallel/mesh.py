@@ -21,19 +21,24 @@ import numpy as np
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
+    seq_parallel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """A (data, model) mesh over the first ``n_devices`` devices.
+    """A (data, seq, model) mesh over the first ``n_devices`` devices.
 
-    ``model_parallel=1`` degenerates to pure data parallelism (the reference's
-    regime). The model axis is innermost so tensor-parallel collectives ride
-    the fastest ICI links.
+    ``model_parallel=seq_parallel=1`` degenerates to pure data parallelism
+    (the reference's regime). ``seq_parallel>1`` shards the encoder token
+    sequence for ring attention (`ops/ring_attention.py` — SURVEY.md §5.7's
+    ICI ring, which the reference never had). The model axis is innermost so
+    tensor-parallel collectives ride the fastest ICI links; seq sits between
+    data and model so ring ppermutes stay within a slice.
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
@@ -46,13 +51,18 @@ def make_mesh(
             )
         devs = devs[:n_devices]
     n = len(devs)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    inner = model_parallel * seq_parallel
+    if n % inner:
+        raise ValueError(
+            f"{n} devices not divisible by seq_parallel*model_parallel={inner}"
+        )
+    grid = np.asarray(devs).reshape(n // inner, seq_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
-def fitting_mesh(batch_size: int, model_parallel: int = 1) -> Mesh:
+def fitting_mesh(
+    batch_size: int, model_parallel: int = 1, seq_parallel: int = 1
+) -> Mesh:
     """Largest mesh whose data axis divides ``batch_size``.
 
     Small debug batches (the reference's ``--local_debug`` regime) must not
@@ -60,18 +70,21 @@ def fitting_mesh(batch_size: int, model_parallel: int = 1) -> Mesh:
     device.
     """
     n = len(jax.devices())
-    data_ax = max(n // model_parallel, 1)
+    inner = model_parallel * seq_parallel
+    data_ax = max(n // inner, 1)
     while data_ax > 1 and batch_size % data_ax:
         data_ax -= 1
-    used = data_ax * model_parallel
+    used = data_ax * inner
     if used < n:
         import warnings
 
         warnings.warn(
             f"fitting_mesh: batch_size={batch_size} with model_parallel="
-            f"{model_parallel} uses only {used} of {n} devices "
-            f"({n - used} idle). Pick a batch size divisible by "
-            f"{n // model_parallel} to use every device.",
+            f"{model_parallel}, seq_parallel={seq_parallel} uses only {used} "
+            f"of {n} devices ({n - used} idle). Pick a batch size divisible "
+            f"by {n // inner} to use every device.",
             stacklevel=2,
         )
-    return make_mesh(n_devices=used, model_parallel=model_parallel)
+    return make_mesh(
+        n_devices=used, model_parallel=model_parallel, seq_parallel=seq_parallel
+    )
