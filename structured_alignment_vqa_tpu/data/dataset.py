@@ -292,13 +292,18 @@ def _square(mask_len: int, size: int) -> np.ndarray:
     return m
 
 
-def _edges_to_adj(edges, size: int) -> np.ndarray:
-    a = np.zeros((size, size), np.int8)
-    if edges:
+def _scatter_edges(a: np.ndarray, edges, size: int) -> None:
+    """Scatter an edge list (pairs or (k, 2) array) into square ``a``."""
+    if len(edges):
         e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
         keep = (e[:, 0] < size) & (e[:, 1] < size)
         e = e[keep]
         a[e[:, 0], e[:, 1]] = 1
+
+
+def _edges_to_adj(edges, size: int) -> np.ndarray:
+    a = np.zeros((size, size), np.int8)
+    _scatter_edges(a, edges, size)
     return a
 
 
@@ -321,21 +326,21 @@ def collate(
 
     vis = np.zeros((b, lv, fea_dim), np.float32)
     vis_mask = np.zeros((b, lv, lv), np.int8)
-    macro = np.full((b, ls), PAD, np.int64)
+    macro = np.full((b, ls), PAD, np.int32)
     macro_mask = np.zeros((b, ls, ls), np.int8)
     macro_graph = np.zeros((b, ls, ls), np.int8)
-    obj_loc = np.full((b, lv), LOC_PAD, np.int64)
-    mpos = np.full((b, lv, topn), PAD, np.int64)
-    mneg = np.full((b, lv, topn), PAD, np.int64)
+    obj_loc = np.full((b, lv), LOC_PAD, np.int32)
+    mpos = np.full((b, lv, topn), PAD, np.int32)
+    mneg = np.full((b, lv, topn), PAD, np.int32)
     mmask = np.zeros((b, lv, topn), np.int8)
-    q = np.full((b, lq), PAD, np.int64)
+    q = np.full((b, lq), PAD, np.int32)
     q_mask = np.zeros((b, lq, lq), np.int8)
     q_graph = np.zeros((b, lq, lq), np.int8)
-    prel = np.full((b, n_rel), PAD, np.int64)
-    nrel = np.full((b, n_rel), PAD, np.int64)
-    prel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int64)
-    nrel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int64)
-    answer = np.zeros((b,), np.int64)
+    prel = np.full((b, n_rel), PAD, np.int32)
+    nrel = np.full((b, n_rel), PAD, np.int32)
+    prel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int32)
+    nrel_loc = np.full((b, n_rel, 5), LOC_PAD, np.int32)
+    answer = np.zeros((b,), np.int32)
     valid = np.zeros((b,), np.int32)
 
     for i, s in enumerate(samples):
@@ -345,18 +350,18 @@ def collate(
         nm = len(s.macro_ids)
         nq = len(s.q_ids)
         vis[i, :no] = s.vis_fea
-        vis_mask[i] = _square(no, lv)
-        macro[i, :nm] = s.macro_ids
-        macro_mask[i] = _square(nm, ls)
-        macro_graph[i] = _edges_to_adj(s.macro_edges, ls)
+        vis_mask[i, :no, :no] = 1    # in-place _square (hot: collate is the
+        macro[i, :nm] = s.macro_ids  # cached-epoch bottleneck, DESIGN.md)
+        macro_mask[i, :nm, :nm] = 1
+        _scatter_edges(macro_graph[i], s.macro_edges, ls)
         k = min(len(s.obj_locs), lv)
         obj_loc[i, :k] = s.obj_locs[:k]
         mpos[i, :s.micro_pos_obj.shape[0]] = s.micro_pos_obj
         mneg[i, :s.micro_neg_obj.shape[0]] = s.micro_neg_obj
         mmask[i, :k] = 1
         q[i, :nq] = s.q_ids
-        q_mask[i] = _square(nq, lq)
-        q_graph[i] = _edges_to_adj(s.q_edges, lq)
+        q_mask[i, :nq, :nq] = 1
+        _scatter_edges(q_graph[i], s.q_edges, lq)
         if s.micro_pos_rel is not None and len(s.micro_pos_rel):
             nr = len(s.micro_pos_rel)
             prel[i, :nr] = s.micro_pos_rel
@@ -370,21 +375,21 @@ def collate(
     return VQABatch(
         vis_fea=vis,
         vis_mask=vis_mask,
-        q_ipt=q.astype(np.int32),
+        q_ipt=q,
         q_mask=q_mask,
         q_graph=q_graph,
-        macro_ipt=macro.astype(np.int32),
+        macro_ipt=macro,
         macro_mask=macro_mask,
         macro_graph=macro_graph,
-        macro_obj_loc=obj_loc.astype(np.int32),
-        micro_pos_obj=mpos.astype(np.int32),
-        micro_neg_obj=mneg.astype(np.int32),
+        macro_obj_loc=obj_loc,
+        micro_pos_obj=mpos,
+        micro_neg_obj=mneg,
         micro_obj_mask=mmask,
-        micro_pos_rel=prel.astype(np.int32),
-        micro_neg_rel=nrel.astype(np.int32),
-        micro_pos_rel_loc=prel_loc.astype(np.int32),
-        micro_neg_rel_loc=nrel_loc.astype(np.int32),
-        answer=answer.astype(np.int32),
+        micro_pos_rel=prel,
+        micro_neg_rel=nrel,
+        micro_pos_rel_loc=prel_loc,
+        micro_neg_rel_loc=nrel_loc,
+        answer=answer,
         sample_valid=valid,
     )
 
@@ -428,6 +433,9 @@ class BatchLoader:
         prefetch: int = 64,
         n_pack: int = 1,
         pack_bucket: Optional[int] = None,
+        tight: bool = False,
+        cache_dir: Optional[str] = None,
+        batch_cache_dir: Optional[str] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -457,32 +465,57 @@ class BatchLoader:
             self.buckets[-1 if pack_bucket is None else pack_bucket]
             if n_pack > 1 else None
         )
-        if n_pack > 1 and not dataset.cfg.only_obj:
+        # tight=True with n_pack=1: one sample per row but through the packed
+        # collate, i.e. *tight-bucket* semantics (per-sample PE restart, no
+        # padding-token attendance). Used for eval when training packs, so
+        # train and eval see identical per-sample encodings (ADVICE r2);
+        # routing stays smallest-fit.
+        self.tight = tight or n_pack > 1
+        if self.tight and not dataset.cfg.only_obj:
             raise ValueError("sequence packing requires only_obj=True "
                              "(the relation-MIL compacted indexing is per-sample)")
+        # cross-epoch preprocessed-sample cache (data/sample_cache.py): the
+        # first full pass persists every converted Sample; later epochs
+        # stream mmap'd arrays instead of re-reading tars / re-building
+        # graphs. Sound because Sample is a pure function of (cfg, index)
+        # — negative sampling is seeded by (cfg.seed, index), not epoch.
+        self.cache_dir = cache_dir
+        # materialized *collated batches* (data/batch_cache.py): valid only
+        # for a fixed stream (shuffle=False) — val eval / serving, where the
+        # reference redoes the identical host pipeline every epoch. Later
+        # passes stream mmap'd VQABatch arrays with no host compute at all.
+        if batch_cache_dir and shuffle:
+            raise ValueError(
+                "batch_cache_dir requires shuffle=False (a shuffled stream "
+                "differs every epoch; use cache_dir — the sample cache — for "
+                "training)"
+            )
+        self.batch_cache_dir = batch_cache_dir
         self.epoch = 0
 
-    def set_epoch(self, epoch: int):
-        self.epoch = epoch
+    def _batch_fingerprint(self) -> str:
+        from structured_alignment_vqa_tpu.data.batch_cache import (
+            loader_fingerprint,
+        )
 
-    def _indices(self) -> np.ndarray:
-        idx = np.arange(len(self.ds))
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
-            rng.shuffle(idx)
-        return idx[self.shard_idx:: self.num_shards]
+        return loader_fingerprint(
+            f"{self.ds.split}/{self.shard_idx}of{self.num_shards}",
+            self.ds.cfg, self.batch_size, self.buckets, self.n_pack,
+            self.pack_bucket, self.tight, self.drop_last,
+        )
 
-    def _bucket_for(self, s: Sample) -> Optional[BatchShape]:
-        for b in self.buckets:
-            if b.fits(s):
-                return b
-        return None
+    def _sample_stream(self, idx):
+        """Yield converted samples for ``idx`` in order, from the cache when
+        one is valid, else from the dataset (building the cache en route)."""
+        from structured_alignment_vqa_tpu.data.sample_cache import (
+            SampleCacheWriter, valid_cache,
+        )
 
-    def __iter__(self) -> Iterator[VQABatch]:
-        idx = self._indices()
-        topn = self.ds.cfg.topn
-        pools: dict = {b: [] for b in self.buckets}
-        n_invalid = 0
+        cache = valid_cache(self.cache_dir, self.ds.split, self.ds.cfg)
+        if cache is not None:
+            for i in idx:
+                yield cache.sample(int(i))
+            return
 
         if self.num_procs > 0:
             import multiprocessing
@@ -505,45 +538,133 @@ class BatchLoader:
             ex_cm = ThreadPoolExecutor(max_workers=self.num_threads)
             map_fn, map_target = ex_cm.map, self.ds.sample
 
-        packing = self.n_pack > 1
+        writer = None
+        if self.cache_dir and self.num_shards == 1:
+            # single-host only: a sharded pass can never cover every index,
+            # so finalize() would always discard; multi-host runs prebuild
+            # with scripts/preprocess or train once with num_shards=1
+            writer = SampleCacheWriter(
+                self.cache_dir, len(self.ds), self.ds.split, self.ds.cfg
+            )
+        try:
+            with ex_cm:
+                for i, s in zip(idx, map_fn(map_target, idx, chunksize=16)):
+                    if writer is not None:
+                        writer.add(int(i), s)
+                    yield s
+            if writer is not None:
+                writer.finalize()
+                writer = None
+        finally:
+            if writer is not None:  # interrupted epoch: no partial publish
+                writer.abort()
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        return idx[self.shard_idx:: self.num_shards]
+
+    def _bucket_for(self, s: Sample) -> Optional[BatchShape]:
+        for b in self.buckets:
+            if b.fits(s):
+                return b
+        return None
+
+    def __iter__(self) -> Iterator[VQABatch]:
+        if self.batch_cache_dir:
+            from structured_alignment_vqa_tpu.data.batch_cache import (
+                BatchCacheWriter, valid_batch_cache,
+            )
+
+            fp = self._batch_fingerprint()
+            cache = valid_batch_cache(self.batch_cache_dir, fp)
+            if cache is not None:
+                self.last_dropped = cache.meta.get("n_samples_dropped", 0)
+                yield from cache
+                return
+            writer = BatchCacheWriter(self.batch_cache_dir, fp)
+            try:
+                for b in self._iter_build():
+                    writer.add(b)
+                    yield b
+                writer.finalize(self.last_dropped)
+                writer = None
+            finally:
+                if writer is not None:  # interrupted pass: no partial publish
+                    writer.abort()
+            return
+        yield from self._iter_build()
+
+    def _iter_build(self) -> Iterator[VQABatch]:
+        idx = self._indices()
+        topn = self.ds.cfg.topn
+        pools: dict = {b: [] for b in self.buckets}
+        open_pools: dict = {b: [] for b in self.buckets}
+        n_invalid = 0
+
+        packing = self.tight
         if packing:
             from structured_alignment_vqa_tpu.data.packing import PackedRow, collate_packed
 
-        with ex_cm as ex:
-            for s in map_fn(map_target, idx, chunksize=16):
-                if s is None:
-                    n_invalid += 1  # reference drops these pre-batch
-                    continue
-                bucket = self._bucket_for(s)
-                if bucket is None:
-                    n_invalid += 1
-                    continue
-                if packing and self.pack_bucket.fits(s):
-                    bucket = self.pack_bucket
-                if packing:
-                    # online first-fit into open rows; emit when the sample
-                    # would need a (batch_size+1)-th row
-                    rows = pools[bucket]
-                    for r in rows:
-                        if r.fits(s):
-                            r.add(s)
-                            break
-                    else:
-                        if len(rows) >= self.batch_size:
-                            yield collate_packed(
-                                [r.samples for r in rows], bucket, topn, self.n_pack
-                            )
-                            rows = pools[bucket] = []
-                        row = PackedRow(bucket, self.n_pack)
-                        row.add(s)
-                        rows.append(row)
-                else:
-                    pools[bucket].append(s)
-                    if len(pools[bucket]) >= self.batch_size:
-                        batch_samples = pools[bucket][: self.batch_size]
-                        pools[bucket] = pools[bucket][self.batch_size:]
-                        yield collate(batch_samples, bucket, topn)
+        for s in self._sample_stream(idx):
+            if s is None:
+                n_invalid += 1  # reference drops these pre-batch
+                continue
+            bucket = self._bucket_for(s)
+            if bucket is None:
+                n_invalid += 1
+                continue
+            if packing and self.pack_bucket is not None and self.pack_bucket.fits(s):
+                bucket = self.pack_bucket
+            if packing:
+                # online first-fit into *open* rows (rows at n_pack capacity
+                # leave the scan list — the scan was the measured hot spot at
+                # bs 128) ; emit when the sample would need a
+                # (batch_size+1)-th row
+                rows = pools[bucket]
+                opens = open_pools[bucket]
+                placed = False
+                for r in opens:
+                    if r.fits(s):
+                        r.add(s)
+                        if len(r.samples) >= self.n_pack:
+                            opens.remove(r)
+                        placed = True
+                        break
+                if not placed:
+                    if len(rows) >= self.batch_size:
+                        yield collate_packed(
+                            [r.samples for r in rows], bucket, topn, self.n_pack
+                        )
+                        rows = pools[bucket] = []
+                        opens = open_pools[bucket] = []
+                    row = PackedRow(bucket, self.n_pack)
+                    row.add(s)
+                    rows.append(row)
+                    if self.n_pack > 1:
+                        opens.append(row)
+            else:
+                pools[bucket].append(s)
+                if len(pools[bucket]) >= self.batch_size:
+                    batch_samples = pools[bucket][: self.batch_size]
+                    pools[bucket] = pools[bucket][self.batch_size:]
+                    yield collate(batch_samples, bucket, topn)
         self.last_dropped = n_invalid
+        if self.drop_last:
+            # end-of-epoch accounting: samples stranded in under-full pools
+            # are real samples lost to drop_last — packed rows hold up to
+            # n_pack each, so this can be n_pack x the unpacked loss and must
+            # not be invisible (ADVICE r2)
+            for pool in pools.values():
+                for entry in pool:
+                    self.last_dropped += (
+                        len(entry.samples) if packing else 1
+                    )
 
         if not self.drop_last:
             for bucket, pool in pools.items():

@@ -52,6 +52,8 @@ def write_fixture(
     n_classes: int = len(OBJECTS),
     bbox_bin_num: int = 64,
     p_easy: float = 0.0,
+    class_feature_sigma: float = None,
+    p_detector_correct: float = 0.0,
 ) -> dict:
     """Create the fixture tree under ``root``; returns summary info.
 
@@ -78,6 +80,24 @@ def write_fixture(
     name token — a short-circuit (copy the name) learnable in a few hundred
     steps, useful to separate "the training loop optimizes" from "the
     alignment task is hard" in scale-up runs with tight step budgets.
+
+    ``class_feature_sigma``: None (default) draws each object's 2048-d visual
+    feature i.i.d. — nothing about the answer is then *generalizable* from
+    vis features, which is why round 2's production-scale run could not move
+    off the answer prior (docs/DESIGN.md "Scale-up run"). A float switches to
+    detector-realistic features: a fixed per-class prototype (seeded by the
+    class, shared across images) plus ``sigma``-scaled i.i.d. noise, the way
+    real bottom-up-attention features encode the class. The planted task then
+    has a generalizable solution — align the question's position token to the
+    macro position node, follow it to the super node's visual feature, and
+    decode the class prototype — with ceiling set by sigma and by corner-bin
+    collisions, not by memorization capacity.
+
+    ``p_detector_correct``: probability the detector's top-1 class
+    (``objects_id[k][0]``) equals the true class instead of a uniform draw —
+    the reference's detector is right most of the time, and the MIL micro
+    positives / relation rep nodes inherit that correlation. 0 (default)
+    keeps the old uncorrelated behavior.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "preprocessed"), exist_ok=True)
@@ -85,6 +105,14 @@ def write_fixture(
     classes = list(OBJECTS) + [
         f"thing{k:04d}" for k in range(max(0, n_classes - len(OBJECTS)))
     ]
+    # per-class feature prototypes: seeded by (seed, class index) so the same
+    # class gets the same prototype in every image and every regeneration
+    proto = (
+        np.random.default_rng((seed, 7919)).standard_normal(
+            (len(OBJECTS), 2048)
+        ).astype(np.float32)
+        if class_feature_sigma is not None else None
+    )
 
     # --- vocab files ---
     with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
@@ -135,6 +163,14 @@ def write_fixture(
             ], axis=1).astype(np.float32)
 
             obj_names = [OBJECTS[int(k)] for k in rng.integers(0, len(OBJECTS), n_obj)]
+            if proto is not None:
+                # detector-realistic features: class prototype + noise (the
+                # rng draw above keeps the default path's stream unchanged)
+                name_idx = np.asarray([OBJECTS.index(n) for n in obj_names])
+                fea = (
+                    proto[name_idx]
+                    + class_feature_sigma * fea
+                ).astype(np.float32)
             img_targets[image_id] = [
                 (
                     obj_names[k],
@@ -146,6 +182,10 @@ def write_fixture(
             objects_id = [
                 list(rng.integers(0, len(classes), size=6)) for _ in range(n_obj)
             ]
+            if p_detector_correct > 0.0:
+                for k in range(n_obj):
+                    if rng.random() < p_detector_correct:
+                        objects_id[k][0] = OBJECTS.index(obj_names[k])
             attrs_id = [int(rng.integers(0, len(ATTRS))) for _ in range(n_obj)]
             info = {"objects_id": objects_id, "attrs_id": attrs_id}
 

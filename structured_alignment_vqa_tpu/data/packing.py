@@ -39,8 +39,12 @@ from structured_alignment_vqa_tpu.data.dataset import (
     PAD,
     BatchShape,
     Sample,
-    _edges_to_adj,
+    _scatter_edges,
 )
+
+# shared position ramp: per-sample np.arange allocations were a measured
+# hot spot in the cached-epoch collate (docs/DESIGN.md round 3)
+_RAMP = np.arange(8192, dtype=np.int32)
 
 
 @dataclasses.dataclass
@@ -89,21 +93,21 @@ def collate_packed(
     vis_mask = np.zeros((b, lv, lv), np.int8)
     vis_seg = np.full((b, lv), -1, np.int32)
     vis_pos = np.zeros((b, lv), np.int32)
-    macro = np.full((b, ls), PAD, np.int64)
+    macro = np.full((b, ls), PAD, np.int32)
     macro_mask = np.zeros((b, ls, ls), np.int8)
     macro_graph = np.zeros((b, ls, ls), np.int8)
     macro_seg = np.full((b, ls), -1, np.int32)
     macro_pos = np.zeros((b, ls), np.int32)
-    obj_loc = np.full((b, lv), LOC_PAD, np.int64)
-    mpos = np.full((b, lv, topn), PAD, np.int64)
-    mneg = np.full((b, lv, topn), PAD, np.int64)
+    obj_loc = np.full((b, lv), LOC_PAD, np.int32)
+    mpos = np.full((b, lv, topn), PAD, np.int32)
+    mneg = np.full((b, lv, topn), PAD, np.int32)
     mmask = np.zeros((b, lv, topn), np.int8)
-    q = np.full((b, lq), PAD, np.int64)
+    q = np.full((b, lq), PAD, np.int32)
     q_mask = np.zeros((b, lq, lq), np.int8)
     q_graph = np.zeros((b, lq, lq), np.int8)
     q_seg = np.full((b, lq), -1, np.int32)
     q_pos = np.zeros((b, lq), np.int32)
-    answer = np.zeros((b, n_pack), np.int64)
+    answer = np.zeros((b, n_pack), np.int32)
     valid = np.zeros((b, n_pack), np.int32)
 
     for i, group in enumerate(groups):
@@ -117,22 +121,22 @@ def collate_packed(
             vis[i, vo:vo + no] = s.vis_fea
             vis_mask[i, vo:vo + no, vo:vo + no] = 1
             vis_seg[i, vo:vo + no] = k
-            vis_pos[i, vo:vo + no] = np.arange(no)
+            vis_pos[i, vo:vo + no] = _RAMP[:no]
             macro[i, mo:mo + nm] = s.macro_ids
             macro_mask[i, mo:mo + nm, mo:mo + nm] = 1
-            macro_graph[i, mo:mo + nm, mo:mo + nm] = _edges_to_adj(s.macro_edges, nm)
+            _scatter_edges(macro_graph[i, mo:mo + nm, mo:mo + nm], s.macro_edges, nm)
             macro_seg[i, mo:mo + nm] = k
-            macro_pos[i, mo:mo + nm] = np.arange(nm)
+            macro_pos[i, mo:mo + nm] = _RAMP[:nm]
             n_obj = min(len(s.obj_locs), no)
             obj_loc[i, vo:vo + n_obj] = s.obj_locs[:n_obj] + mo
             mpos[i, vo:vo + s.micro_pos_obj.shape[0]] = s.micro_pos_obj
             mneg[i, vo:vo + s.micro_neg_obj.shape[0]] = s.micro_neg_obj
             mmask[i, vo:vo + n_obj] = 1
             q[i, qo:qo + nq] = s.q_ids
-            q_graph[i, qo:qo + nq, qo:qo + nq] = _edges_to_adj(s.q_edges, nq)
+            _scatter_edges(q_graph[i, qo:qo + nq, qo:qo + nq], s.q_edges, nq)
             q_mask[i, qo:qo + nq, qo:qo + nq] = 1
             q_seg[i, qo:qo + nq] = k
-            q_pos[i, qo:qo + nq] = np.arange(nq)
+            q_pos[i, qo:qo + nq] = _RAMP[:nq]
             answer[i, k] = s.answer
             valid[i, k] = 1
             vo += no
@@ -142,21 +146,21 @@ def collate_packed(
     return VQABatch(
         vis_fea=vis,
         vis_mask=vis_mask,
-        q_ipt=q.astype(np.int32),
+        q_ipt=q,
         q_mask=q_mask,
         q_graph=q_graph,
-        macro_ipt=macro.astype(np.int32),
+        macro_ipt=macro,
         macro_mask=macro_mask,
         macro_graph=macro_graph,
-        macro_obj_loc=obj_loc.astype(np.int32),
-        micro_pos_obj=mpos.astype(np.int32),
-        micro_neg_obj=mneg.astype(np.int32),
+        macro_obj_loc=obj_loc,
+        micro_pos_obj=mpos,
+        micro_neg_obj=mneg,
         micro_obj_mask=mmask,
         micro_pos_rel=np.full((b, 1), PAD, np.int32),
         micro_neg_rel=np.full((b, 1), PAD, np.int32),
         micro_pos_rel_loc=np.full((b, 1, 5), LOC_PAD, np.int32),
         micro_neg_rel_loc=np.full((b, 1, 5), LOC_PAD, np.int32),
-        answer=answer.astype(np.int32),
+        answer=answer,
         sample_valid=valid,
         vis_seg=vis_seg,
         macro_seg=macro_seg,

@@ -58,13 +58,18 @@ class TrainerConfig:
     num_workers: int = 8
     num_procs: int = 0  # loader worker processes (0 = thread pool)
     # >1: sequence packing — up to n_pack training samples share one
-    # static-shape row (data/packing.py); eval stays unpacked so accuracy
-    # counting matches the reference's per-sample semantics exactly.
+    # static-shape row (data/packing.py); eval then runs one-sample-per-row
+    # through the same tight collate (tight=True) so train and eval see
+    # identical per-sample encodings (PE restart, no padding attendance).
     n_pack: int = 1
     # bucket index packed rows use (None = largest). At the production
     # obj-only mix the measured optimum is the middle (256-combined-token)
     # bucket at full batch size: +35% samples/s (docs/DESIGN.md).
     pack_bucket: Optional[int] = None
+    # cross-epoch preprocessed-sample cache root (data/sample_cache.py);
+    # train and val get separate subdirectories. None = rebuild each epoch
+    # (the reference's behavior).
+    cache_dir: Optional[str] = None
     # capture a JAX profiler trace of training steps [profile_start, profile_start
     # + profile_steps) into <output_dir>/profile (SURVEY.md section 5.1: the reference
     # had no profiling at all)
@@ -118,15 +123,27 @@ def train(
     model = AttModelX3(model_cfg)
     tx = adam(tc.lr)
 
+    cache = lambda split: f"{tc.cache_dir}/{split}" if tc.cache_dir else None
     train_loader = BatchLoader(
         train_ds, tc.batch_size, shuffle=True, seed=tc.seed,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
         num_procs=tc.num_procs, n_pack=tc.n_pack, pack_bucket=tc.pack_bucket,
+        cache_dir=cache("train"),
     )
+    # when training packs (tight per-sample semantics: PE restart, no
+    # padding-token attendance), eval must see the same encodings —
+    # tight=True routes single samples through the packed collate so
+    # train and eval match (ADVICE r2); unpacked training keeps the
+    # reference's padded semantics on both sides.
     val_loader = BatchLoader(
         val_ds, tc.batch_size, shuffle=False,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
-        num_procs=tc.num_procs,
+        num_procs=tc.num_procs, tight=tc.n_pack > 1,
+        cache_dir=cache("val"),
+        # val order is fixed, so epochs 2+ stream materialized collated
+        # batches (data/batch_cache.py) — per-epoch val eval stops paying
+        # the host pipeline at all
+        batch_cache_dir=cache("val_batches"),
     )
 
     # init from the first available batch (defines bucket shapes are per-batch;

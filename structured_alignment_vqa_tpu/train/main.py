@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured production optimum, docs/DESIGN.md)")
     p.add_argument("--num_procs", type=int, default=0,
                    help="loader worker processes (0 = thread pool)")
+    p.add_argument("--cache_dir", type=str, default="",
+                   help="cross-epoch preprocessed-sample cache directory: the "
+                        "first pass persists converted samples; later epochs "
+                        "stream mmap'd arrays (data/sample_cache.py)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas kernel tier (wins on unaligned shapes)")
     return p
@@ -175,6 +179,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         num_procs=args.num_procs,
         n_pack=args.n_pack,
         pack_bucket=None if args.pack_bucket < 0 else args.pack_bucket,
+        cache_dir=args.cache_dir or None,
         profile_steps=args.profile_steps,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg

@@ -60,6 +60,11 @@ def main(argv=None):
                         help="weight-only int8 serving: quantize the GloVe "
                              "tables and classifier heads after checkpoint "
                              "load (ops/quant.py)")
+    parser.add_argument("--batch_cache_dir", type=str, default="",
+                        help="materialized-collated-batch cache "
+                             "(data/batch_cache.py): the first pass persists "
+                             "every batch; later passes stream mmap'd arrays "
+                             "with no host compute")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -73,6 +78,8 @@ def main(argv=None):
     loader = BatchLoader(
         ds, trainer_cfg.batch_size, shuffle=False, drop_last=False,
         num_threads=trainer_cfg.num_workers, num_procs=trainer_cfg.num_procs,
+        cache_dir=f"{trainer_cfg.cache_dir}/{args.split}" if trainer_cfg.cache_dir else None,
+        batch_cache_dir=args.batch_cache_dir or None,
     )
 
     model = AttModelX3(model_cfg)
@@ -92,19 +99,37 @@ def main(argv=None):
     t0 = time.perf_counter()
     n_out = 0
     idx = 0
+
+    def drain(preds_dev, valid, base):
+        nonlocal n_out
+        preds = np.asarray(preds_dev)  # blocks on this batch only
+        for j in range(len(preds)):
+            if valid[j]:
+                aid = int(preds[j])
+                sink.write(json.dumps({
+                    "index": base + j, "answer_id": aid,
+                    "answer": id2ans.get(aid, "<other>"),
+                }) + "\n")
+                n_out += 1
+
+    # two-deep pipeline: dispatch is async, so while the chip runs batch t
+    # the host collates batch t+1 and fetches batch t-1's answers — the
+    # serving analogue of the train loop's two-ahead device_put
+    # (`train/loop.py:_mesh_iter`).
+    from collections import deque
+
+    pending: deque = deque()
     try:
         for batch in loader:
-            preds = np.asarray(predict(state, put_batch(batch, mesh)))
-            valid = np.asarray(batch.sample_valid)
-            for j in range(len(preds)):
-                if valid[j]:
-                    aid = int(preds[j])
-                    sink.write(json.dumps({
-                        "index": idx, "answer_id": aid,
-                        "answer": id2ans.get(aid, "<other>"),
-                    }) + "\n")
-                    n_out += 1
-                idx += 1
+            dev = put_batch(batch, mesh)
+            pending.append(
+                (predict(state, dev), np.asarray(batch.sample_valid), idx)
+            )
+            idx += batch.batch_size
+            if len(pending) >= 2:
+                drain(*pending.popleft())
+        while pending:
+            drain(*pending.popleft())
     finally:
         if sink is not sys.stdout:
             sink.close()

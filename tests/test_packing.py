@@ -242,3 +242,78 @@ class TestPackedRowPlanner:
                             drop_last=False, num_threads=2)
         n_plain = sum(int(np.sum(np.asarray(b.sample_valid))) for b in plain)
         assert n_valid == n_plain
+
+    def test_tight_eval_loader_matches_packed_semantics(self, rng, tmp_path):
+        """tight=True with n_pack=1 (the eval side of packed training) must
+        encode each sample exactly like its packed-row incarnation: model
+        logits per sample agree between a tight one-per-row loader and an
+        n_pack=3 packed loader over the same data (ADVICE r2: no train/eval
+        encoding skew)."""
+        import jax
+        from structured_alignment_vqa_tpu.data.dataset import (
+            BatchLoader, BatchShape, DataConfig, GQASuperNodeDataset,
+        )
+        from structured_alignment_vqa_tpu.data.fixtures import write_fixture
+        from structured_alignment_vqa_tpu.models import AttModelX3
+        from structured_alignment_vqa_tpu.models.config import tiny_test_config
+
+        d = tmp_path / "data"
+        write_fixture(str(d), n_images=6, n_questions=12, seed=5)
+        dcfg = DataConfig(data_dir=str(d), maxlen=128, topn=2)
+        ds = GQASuperNodeDataset("train", dcfg)
+        buckets = [BatchShape(16, 48, 16)]
+
+        mcfg = tiny_test_config(
+            num_classes=len(ds.ans_w2id) + 1, vocab_size=407000, vis_fea_dim=2048,
+            topn=2, maxlen_v=16, maxlen=48, maxlen_q=16,
+        )
+        model = AttModelX3(mcfg)
+
+        params = {}
+
+        def logits_by_fingerprint(loader):
+            # no sample id in the batch: key each slot by its question +
+            # macro token content plus the answer (unique in this fixture)
+            out = {}
+            for b in loader:
+                if "p" not in params:
+                    p = model.init(jax.random.key(0), b)
+                    # off the content-mask knife edge (docs/PARITY.md)
+                    params["p"] = jax.tree.map(
+                        lambda l: l + 0.03 * jax.random.normal(
+                            jax.random.key(1), l.shape, l.dtype), p)
+                lc, _, _, _, _ = model.apply(params["p"], b, deterministic=True)
+                lc = np.asarray(lc)
+                valid = np.asarray(b.sample_valid)
+                q_ipt, q_seg = np.asarray(b.q_ipt), np.asarray(b.q_seg)
+                m_ipt, m_seg = np.asarray(b.macro_ipt), np.asarray(b.macro_seg)
+                ans = np.asarray(b.answer)
+                for i in range(valid.shape[0]):
+                    for j in range(valid.shape[1]):
+                        if valid[i, j]:
+                            key = (
+                                tuple(q_ipt[i][q_seg[i] == j]),
+                                tuple(m_ipt[i][m_seg[i] == j]),
+                                int(ans[i, j]),
+                            )
+                            vkey = round(float(
+                                np.asarray(b.vis_fea)[i][
+                                    np.asarray(b.vis_seg)[i] == j
+                                ].sum()), 2)
+                            key = key + (vkey,)
+                            if key in out:
+                                # true duplicate sample: logits must agree
+                                np.testing.assert_allclose(
+                                    out[key], lc[i, j], atol=1e-5)
+                            out[key] = lc[i, j]
+            return out
+
+        tight = BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                            drop_last=False, num_threads=2, tight=True)
+        packed = BatchLoader(ds, 4, buckets=buckets, shuffle=False,
+                             drop_last=False, num_threads=2, n_pack=3)
+        a = logits_by_fingerprint(tight)
+        b = logits_by_fingerprint(packed)
+        assert set(a) == set(b) and len(a) > 0
+        for qid in a:
+            np.testing.assert_allclose(a[qid], b[qid], atol=1e-5, err_msg=str(qid))
