@@ -84,14 +84,24 @@ def quantized_lookup(q_table: jax.Array, scale: jax.Array, ids: jax.Array,
     return rows * s[..., None]
 
 
-def quantize_params(params):
+# The modules the int8_serving=True model declares quantized, by NAME (not
+# structure): GloVeEmbed instances (`att_model_x3.py` — "glove" when
+# share_glove, else per-branch "syb_emb") and the classifier-head Dense pairs
+# ("cls"/"cls_vis"/"cls_syb"/"cls_mcb" + "_hidden"/"_out"). Matching by name
+# keeps a future module that merely *looks* like a table from being silently
+# mis-quantized (ADVICE r2).
+GLOVE_MODULE_NAMES = frozenset({"glove", "syb_emb"})
+HEAD_PREFIX = "cls"
+
+
+def quantize_params(params, glove_names=GLOVE_MODULE_NAMES, head_prefix=HEAD_PREFIX):
     """Convert a trained float param tree to the int8-serving layout.
 
     Rewrites exactly the leaves the ``int8_serving=True`` model declares:
 
-    * any ``GloVeEmbed`` subtree (sole key ``table``) -> ``table_q`` int8 +
-      per-row ``table_scale``;
-    * classifier-head Dense subtrees (module name ``cls*``, keys
+    * ``GloVeEmbed`` subtrees (named in ``glove_names``, sole key ``table``)
+      -> ``table_q`` int8 + per-row ``table_scale``;
+    * classifier-head Dense subtrees (name starting ``head_prefix``, keys
       ``kernel``/``bias``) -> ``kernel_q`` int8 + per-output-channel
       ``kernel_scale`` + the float bias.
 
@@ -99,27 +109,58 @@ def quantize_params(params):
     ``lookup_table`` and the attention/FFN weights stay float — they are
     small next to the GloVe tables and sit on the training path's parity
     contract).
+
+    Raises if a name matched a target but its structure didn't (a renamed or
+    reshaped module would otherwise produce a tree the int8 model rejects
+    much later), or if nothing was quantized at all.
     """
-    def rec(tree):
+    n_tables = 0
+    n_heads = 0
+
+    def rec(tree, path):
+        nonlocal n_tables, n_heads
         out = {}
         for k, v in tree.items():
+            here = path + (k,)
             if isinstance(v, dict):
-                if set(v) == {"table"}:
+                if k in glove_names:
+                    if set(v) != {"table"}:
+                        raise ValueError(
+                            f"GloVe module {'/'.join(here)} has keys "
+                            f"{sorted(v)}, expected exactly ['table'] — "
+                            "already quantized, or the layout changed?"
+                        )
                     q, s = quantize_int8(np.asarray(v["table"]), axis=0)
                     out[k] = {"table_q": jnp.asarray(q), "table_scale": jnp.asarray(s)}
-                elif set(v) == {"kernel", "bias"} and k.startswith("cls"):
+                    n_tables += 1
+                elif k.startswith(head_prefix):
+                    if set(v) != {"kernel", "bias"}:
+                        raise ValueError(
+                            f"classifier head {'/'.join(here)} has keys "
+                            f"{sorted(v)}, expected ['bias', 'kernel']"
+                        )
                     q, s = quantize_int8(np.asarray(v["kernel"]), axis=1)
                     out[k] = {
                         "kernel_q": jnp.asarray(q),
                         "kernel_scale": jnp.asarray(s),
                         "bias": jnp.asarray(v["bias"]),
                     }
+                    n_heads += 1
                 else:
-                    out[k] = rec(v)
+                    out[k] = rec(v, here)
             else:
                 # device_get'd trees carry numpy leaves; flax modules expect
                 # jax arrays (e.g. Embedding's `.at[0].set`)
                 out[k] = jnp.asarray(v)
         return out
 
-    return rec(params)
+    out = rec(params, ())
+    # the model always has >=1 GloVe table and the 3 heads (6 Dense layers);
+    # producing fewer means the tree wasn't an AttModelX3 float checkpoint
+    if n_tables < 1 or n_heads < 6:
+        raise ValueError(
+            f"quantize_params matched {n_tables} GloVe table(s) and {n_heads} "
+            "head Dense layer(s); expected >=1 and >=6 — wrong tree or "
+            "renamed modules?"
+        )
+    return out
