@@ -112,6 +112,10 @@ def main() -> None:
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
         "mfu": round(mfu, 4),
         "tflops_per_pair": round(flops_per_call / batch_size / 1e12, 5),
+        # operating point, so cross-round numbers stay comparable
+        # (VERDICT r2 #10): serving sweet spot bs=128 on the (36,98,30)
+        # lane-aligned bucket (symbolic encoder length 98+30=128), f32 params
+        "operating_point": "bs=128 bucket=(36,98,30) dtype=bf16",
     }))
 
 

@@ -36,7 +36,24 @@ from structured_alignment_vqa_tpu.parallel.train_step import (
 )
 
 
+# bf16 peak of the attached chip (bench.py has the full table)
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+              "TPU v5p": 459e12, "TPU v6 lite": 918e12}
+
+
+def step_flops(step, state, batch, rng):
+    """FLOPs of one jitted train step from XLA's own cost model."""
+    try:
+        cost = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def time_steps(step, state, batch, rng, n=20, warmup=2):
+    flops = step_flops(step, state, batch, rng)
     for _ in range(warmup):
         state, metrics = step(state, batch, rng)
     float(metrics["loss"])
@@ -45,6 +62,10 @@ def time_steps(step, state, batch, rng, n=20, warmup=2):
         state, metrics = step(state, batch, rng)
     float(metrics["loss"])  # forces the chain
     dt = (time.perf_counter() - t0) / n
+    if flops:
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
+        print(f"  train-step MFU: {flops / dt / peak * 100:.1f}% "
+              f"({flops / 1e9:.1f} GFLOP/step, XLA cost model)")
     return dt, state
 
 
