@@ -77,15 +77,28 @@ class TrainerConfig:
     profile_start: int = 10
 
 
-def run_eval(eval_step, state, loader, logger, log_steps, tag=""):
+def run_eval(eval_step, state, loader, logger, log_steps, tag="",
+             metric_lag: int = 4):
     """Eval pass; returns (avg_loss, n_correct, n) — already global sums
-    (replacing `main:380-404`)."""
+    (replacing `main:380-404`).
+
+    Metric fetches are deferred ``metric_lag`` batches: reading a metric
+    scalar blocks on that batch's whole computation, and doing it on the
+    *current* batch serializes every dispatch behind a device round trip
+    (measured 1.75 s/step through the remote-TPU tunnel vs ~0.1 s compute).
+    Reading a ``metric_lag``-old metric is free — it finished while later
+    batches were dispatched.
+    """
+    from collections import deque
+
     loss_meter = AverageMeter()
     mil_meter = AverageMeter()
     n_correct = 0.0
     n_total = 0.0
-    for i, batch in enumerate(loader):
-        m = eval_step(state, batch)
+    pending: deque = deque()
+
+    def drain(i, m):
+        nonlocal n_correct, n_total
         n = float(m["n"])
         if n > 0:
             loss_meter.update(float(m["loss_sum"]) / n, int(n))
@@ -97,6 +110,13 @@ def run_eval(eval_step, state, loader, logger, log_steps, tag=""):
                 "Time %s, %s Step [%d], Avg Loss: %s, Avg MILNCE_loss: %s",
                 datetime.datetime.now(), tag, i + 1, loss_meter.avg, mil_meter.avg,
             )
+
+    for i, batch in enumerate(loader):
+        pending.append((i, eval_step(state, batch)))
+        if len(pending) > metric_lag:
+            drain(*pending.popleft())
+    while pending:
+        drain(*pending.popleft())
     return loss_meter.avg, n_correct, n_total
 
 
@@ -173,15 +193,16 @@ def train(
         loss_meter, mil_meter = AverageMeter(), AverageMeter()
 
         tracing = False
-        for i, batch in enumerate(_mesh_iter(train_loader, mesh)):
-            if tc.profile_steps and proc == 0 and epoch == start_epoch:
-                if i == tc.profile_start:
-                    jax.profiler.start_trace(f"{tc.output_dir}/profile")
-                    tracing = True
-                elif tracing and i == tc.profile_start + tc.profile_steps:
-                    jax.profiler.stop_trace()
-                    tracing = False
-            state, m = train_step(state, batch, rng)
+        # Deferred metric fetches (same rationale as run_eval): reading the
+        # current step's loss blocks the dispatch pipeline on a full device
+        # round trip per step. Metrics are read metric_lag steps late, when
+        # they are already resident; log lines report the step they belong to.
+        from collections import deque
+
+        metric_lag = 4
+        pending: deque = deque()
+
+        def drain(i, m):
             bsz = int(m["n"])
             if bsz:
                 loss_meter.update(float(m["loss"]), bsz)
@@ -197,6 +218,21 @@ def train(
                 )
                 metrics_out.log("Avg Loss", loss_meter.avg, int(state.step))
                 metrics_out.log("Avg MILNCE_loss", mil_meter.avg, int(state.step))
+
+        for i, batch in enumerate(_mesh_iter(train_loader, mesh)):
+            if tc.profile_steps and proc == 0 and epoch == start_epoch:
+                if i == tc.profile_start:
+                    jax.profiler.start_trace(f"{tc.output_dir}/profile")
+                    tracing = True
+                elif tracing and i == tc.profile_start + tc.profile_steps:
+                    jax.profiler.stop_trace()
+                    tracing = False
+            state, m = train_step(state, batch, rng)
+            pending.append((i, m))
+            if len(pending) > metric_lag:
+                drain(*pending.popleft())
+        while pending:
+            drain(*pending.popleft())
 
         if tracing:  # epoch shorter than the requested window
             jax.profiler.stop_trace()
