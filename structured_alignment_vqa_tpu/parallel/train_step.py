@@ -22,6 +22,7 @@ import optax
 from flax import struct
 
 from structured_alignment_vqa_tpu.data.batch import VQABatch
+from structured_alignment_vqa_tpu.data.wire import as_vqa_batch
 from structured_alignment_vqa_tpu.models.config import ModelConfig
 from structured_alignment_vqa_tpu.parallel.sharding import (
     batch_sharding,
@@ -104,6 +105,7 @@ def make_train_step(
     its only guard was `torch.autograd.set_detect_anomaly`, a debugger)."""
 
     def step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
+        batch = as_vqa_batch(batch)  # wire-format batches unpack in-jit (data/wire.py)
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -162,6 +164,7 @@ def make_eval_step(model, cfg: ModelConfig, with_milnce: bool = True, smooth_eps
     """
 
     def eval_fn(state: TrainState, batch: VQABatch):
+        batch = as_vqa_batch(batch)
         variables = {"params": state.params}
         if state.constants:
             variables["constants"] = state.constants
@@ -200,6 +203,12 @@ def put_batch(batch: VQABatch, mesh) -> VQABatch:
     )
 
 
-def adam(lr: float = 1e-4) -> optax.GradientTransformation:
-    """torch.optim.Adam defaults (`main:206`): betas (0.9, 0.999), eps 1e-8."""
+def adam(lr: float = 1e-4, warmup_steps: int = 0) -> optax.GradientTransformation:
+    """torch.optim.Adam defaults (`main:206`): betas (0.9, 0.999), eps 1e-8.
+
+    ``warmup_steps`` > 0 ramps the LR linearly from 0 before holding the
+    reference's constant LR — an opt-in stabilizer the reference lacks."""
+    if warmup_steps:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
+        return optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
