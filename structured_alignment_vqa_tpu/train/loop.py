@@ -75,6 +75,12 @@ class TrainerConfig:
     # had no profiling at all)
     profile_steps: int = 0
     profile_start: int = 10
+    # epochs between the per-epoch val+train eval passes (`main:380-382` evals
+    # every epoch; >1 skips intermediates — the final epoch always evals)
+    eval_every: int = 1
+    # linear LR warmup over this many steps, then the constant reference LR
+    # (0 = plain Adam, the reference's schedule-free behavior, `main:206`)
+    warmup_steps: int = 0
 
 
 def run_eval(eval_step, state, loader, logger, log_steps, tag="",
@@ -141,7 +147,7 @@ def train(
     val_ds = GQASuperNodeDataset("val", val_data_cfg or data_cfg)
     model_cfg = model_cfg.replace(topn=data_cfg.topn, only_obj=data_cfg.only_obj)
     model = AttModelX3(model_cfg)
-    tx = adam(tc.lr)
+    tx = adam(tc.lr, warmup_steps=tc.warmup_steps)
 
     cache = lambda split: f"{tc.cache_dir}/{split}" if tc.cache_dir else None
     train_loader = BatchLoader(
@@ -237,7 +243,12 @@ def train(
         if tracing:  # epoch shorter than the requested window
             jax.profiler.stop_trace()
 
-        # per-epoch eval on val and train (`main:380-382`)
+        # per-epoch eval on val and train (`main:380-382`); eval_every > 1
+        # skips intermediate epochs (the final epoch always evals)
+        if (epoch + 1) % tc.eval_every and epoch + 1 != tc.num_epochs:
+            if (epoch + 1) % tc.checkpoint_every == 0:
+                save_checkpoint(ckpt_dir, state, epoch + 1, tc.max_checkpoints)
+            continue
         val_loss, val_corr, val_n = run_eval(
             eval_step, state, _mesh_iter(val_loader, mesh), logger, tc.log_steps_val, "val")
         train_loss, tr_corr, tr_n = run_eval(
@@ -265,19 +276,27 @@ def train(
     return state
 
 
-def _mesh_iter(loader, mesh, prefetch: int = 2):
+def _mesh_iter(loader, mesh, prefetch: int = 2, wire: bool = True):
     """Device-put batches ``prefetch`` ahead of consumption.
 
     device_put is asynchronous, so starting the next batch's host->device
     transfer while the current step computes hides the transfer behind the
     step — decisive on a remote-TPU tunnel, where a bs-128 batch is tens of
     MB even with int8 mask wires.
+
+    ``wire``: pack the 18-leaf batch into 3 dtype-grouped arrays before the
+    transfer (data/wire.py) — each host->device put pays a fixed per-array
+    cost, and 18x that overhead dwarfed the step itself (measured ~750 ms
+    vs 123 ms compute, docs/DESIGN.md "Transfer batching"). The jitted step
+    unpacks with static slices, which XLA fuses away.
     """
     from collections import deque
 
+    from structured_alignment_vqa_tpu.data.wire import pack_wire
+
     buf = deque()
     for batch in loader:
-        buf.append(put_batch(batch, mesh))
+        buf.append(put_batch(pack_wire(batch) if wire else batch, mesh))
         if len(buf) >= prefetch:
             yield buf.popleft()
     while buf:

@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cross-epoch preprocessed-sample cache directory: the "
                         "first pass persists converted samples; later epochs "
                         "stream mmap'd arrays (data/sample_cache.py)")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="epochs between val/train eval passes (reference: 1; "
+                        "the final epoch always evals)")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps before the constant reference "
+                        "LR (0 = reference behavior, no warmup)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas kernel tier (wins on unaligned shapes)")
     return p
@@ -181,6 +187,8 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         pack_bucket=None if args.pack_bucket < 0 else args.pack_bucket,
         cache_dir=args.cache_dir or None,
         profile_steps=args.profile_steps,
+        eval_every=args.eval_every,
+        warmup_steps=args.warmup_steps,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg
 
