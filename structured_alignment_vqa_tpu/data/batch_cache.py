@@ -138,6 +138,10 @@ class BatchCache:
         for off in self.offsets:
             yield _unpack_batch(self.buf, int(off))
 
+    def batch(self, i: int) -> VQABatch:
+        """Random access (batch-replay training streams a permuted order)."""
+        return _unpack_batch(self.buf, int(self.offsets[i]))
+
 
 def valid_batch_cache(cache_dir: Optional[str], fingerprint: str) -> Optional[BatchCache]:
     if not cache_dir:

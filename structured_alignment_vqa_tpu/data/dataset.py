@@ -436,6 +436,7 @@ class BatchLoader:
         tight: bool = False,
         cache_dir: Optional[str] = None,
         batch_cache_dir: Optional[str] = None,
+        batch_replay_dir: Optional[str] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -488,9 +489,20 @@ class BatchLoader:
             raise ValueError(
                 "batch_cache_dir requires shuffle=False (a shuffled stream "
                 "differs every epoch; use cache_dir — the sample cache — for "
-                "training)"
+                "training, or batch_replay_dir to freeze batch composition "
+                "and reshuffle batch order)"
             )
         self.batch_cache_dir = batch_cache_dir
+        # training-side materialized batches: the first epoch builds + persists
+        # its collated batches; every later epoch streams them mmap'd in a
+        # freshly permuted ORDER (seeded by epoch). Batch composition is
+        # frozen at the first materialized epoch — a documented departure from
+        # the reference's full per-epoch resample (`main:263`) that trades
+        # within-batch remixing for a host pipeline that keeps up with the
+        # chip on few-core hosts (docs/DESIGN.md "Batch replay").
+        if batch_replay_dir and batch_cache_dir:
+            raise ValueError("batch_replay_dir and batch_cache_dir are exclusive")
+        self.batch_replay_dir = batch_replay_dir
         self.epoch = 0
 
     def _batch_fingerprint(self) -> str:
@@ -576,6 +588,34 @@ class BatchLoader:
         return None
 
     def __iter__(self) -> Iterator[VQABatch]:
+        if self.batch_replay_dir:
+            from structured_alignment_vqa_tpu.data.batch_cache import (
+                BatchCacheWriter, valid_batch_cache,
+            )
+
+            fp = self._batch_fingerprint()
+            cache = valid_batch_cache(self.batch_replay_dir, fp)
+            if cache is not None:
+                self.last_dropped = cache.meta.get("n_samples_dropped", 0)
+                order = np.arange(len(cache))
+                if self.shuffle:
+                    np.random.default_rng(
+                        (self.seed, 0x5EBA, self.epoch)
+                    ).shuffle(order)
+                for i in order:
+                    yield cache.batch(int(i))
+                return
+            writer = BatchCacheWriter(self.batch_replay_dir, fp)
+            try:
+                for b in self._iter_build():
+                    writer.add(b)
+                    yield b
+                writer.finalize(self.last_dropped)
+                writer = None
+            finally:
+                if writer is not None:  # interrupted pass: no partial publish
+                    writer.abort()
+            return
         if self.batch_cache_dir:
             from structured_alignment_vqa_tpu.data.batch_cache import (
                 BatchCacheWriter, valid_batch_cache,

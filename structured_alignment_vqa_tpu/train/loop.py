@@ -70,6 +70,10 @@ class TrainerConfig:
     # train and val get separate subdirectories. None = rebuild each epoch
     # (the reference's behavior).
     cache_dir: Optional[str] = None
+    # materialize epoch-0's collated train batches and replay them mmap'd in
+    # a per-epoch-shuffled ORDER (composition frozen; data/dataset.py
+    # "batch_replay_dir"). Requires cache_dir for the on-disk root.
+    batch_replay: bool = False
     # capture a JAX profiler trace of training steps [profile_start, profile_start
     # + profile_steps) into <output_dir>/profile (SURVEY.md section 5.1: the reference
     # had no profiling at all)
@@ -150,11 +154,14 @@ def train(
     tx = adam(tc.lr, warmup_steps=tc.warmup_steps)
 
     cache = lambda split: f"{tc.cache_dir}/{split}" if tc.cache_dir else None
+    if tc.batch_replay and not tc.cache_dir:
+        raise ValueError("batch_replay needs cache_dir for its on-disk root")
     train_loader = BatchLoader(
         train_ds, tc.batch_size, shuffle=True, seed=tc.seed,
         shard_idx=proc, num_shards=nproc, num_threads=tc.num_workers,
         num_procs=tc.num_procs, n_pack=tc.n_pack, pack_bucket=tc.pack_bucket,
         cache_dir=cache("train"),
+        batch_replay_dir=cache("train_batches") if tc.batch_replay else None,
     )
     # when training packs (tight per-sample semantics: PE restart, no
     # padding-token attendance), eval must see the same encodings —

@@ -107,6 +107,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cross-epoch preprocessed-sample cache directory: the "
                         "first pass persists converted samples; later epochs "
                         "stream mmap'd arrays (data/sample_cache.py)")
+    p.add_argument("--batch_replay", action="store_true",
+                   help="materialize epoch-0's collated train batches and "
+                        "replay them in a per-epoch-shuffled order (frozen "
+                        "composition; needs --cache_dir)")
+    p.add_argument("--checkpoint_every", type=int, default=1,
+                   help="epochs between orbax checkpoints (reference saves "
+                        "every epoch)")
+    p.add_argument("--max_checkpoints", type=int, default=0,
+                   help="keep only the newest N checkpoints (0 = keep all, "
+                        "the reference behavior)")
     p.add_argument("--eval_every", type=int, default=1,
                    help="epochs between val/train eval passes (reference: 1; "
                         "the final epoch always evals)")
@@ -186,9 +196,12 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         n_pack=args.n_pack,
         pack_bucket=None if args.pack_bucket < 0 else args.pack_bucket,
         cache_dir=args.cache_dir or None,
+        batch_replay=args.batch_replay,
         profile_steps=args.profile_steps,
         eval_every=args.eval_every,
         warmup_steps=args.warmup_steps,
+        checkpoint_every=args.checkpoint_every,
+        max_checkpoints=args.max_checkpoints or None,
     )
     return model_cfg, train_dc, val_dc, trainer_cfg
 

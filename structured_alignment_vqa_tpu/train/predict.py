@@ -36,6 +36,9 @@ def make_predict_step(model):
 
     @jax.jit
     def predict(state, batch):
+        from structured_alignment_vqa_tpu.data.wire import as_vqa_batch
+
+        batch = as_vqa_batch(batch)
         variables = {"params": state.params}
         if state.constants:
             variables["constants"] = state.constants
@@ -65,6 +68,9 @@ def main(argv=None):
                              "(data/batch_cache.py): the first pass persists "
                              "every batch; later passes stream mmap'd arrays "
                              "with no host compute")
+    parser.add_argument("--pipeline_depth", type=int, default=4,
+                        help="batches in flight before the oldest answer is "
+                             "fetched (keeps dispatch ahead of the chip)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -112,21 +118,24 @@ def main(argv=None):
                 }) + "\n")
                 n_out += 1
 
-    # two-deep pipeline: dispatch is async, so while the chip runs batch t
-    # the host collates batch t+1 and fetches batch t-1's answers — the
-    # serving analogue of the train loop's two-ahead device_put
-    # (`train/loop.py:_mesh_iter`).
+    # pipelined serving: dispatch is async, so while the chip runs batch t
+    # the host collates batch t+1 and fetches batch t-pipeline_depth's
+    # answers. Batches ship in the 3-array wire format (data/wire.py) — the
+    # per-array transfer overhead that dominated the train loop applies
+    # identically here.
     from collections import deque
+
+    from structured_alignment_vqa_tpu.data.wire import pack_wire
 
     pending: deque = deque()
     try:
         for batch in loader:
-            dev = put_batch(batch, mesh)
+            dev = put_batch(pack_wire(batch), mesh)
             pending.append(
                 (predict(state, dev), np.asarray(batch.sample_valid), idx)
             )
             idx += batch.batch_size
-            if len(pending) >= 2:
+            if len(pending) >= max(args.pipeline_depth, 1):
                 drain(*pending.popleft())
         while pending:
             drain(*pending.popleft())
