@@ -13,10 +13,11 @@ even on one core. The cross-epoch *sample* cache (`sample_cache.py`) is the
 training-side analogue (training must re-shuffle and re-pack, so it caches
 pre-collate; eval order is fixed, so this caches post-collate).
 
-Storage mirrors `sample_cache.py`: append-only ``batches.bin`` of
-fixed-schema records (per-field dtype/shape headers + raw bytes),
-``meta.json`` with a config fingerprint, index written last so an
-interrupted first pass leaves no usable cache.
+Storage mirrors `sample_cache.py`: an append-only token-named batches
+file of fixed-schema records (per-field dtype/shape headers + raw bytes),
+with ``meta.json`` (config fingerprint + winning token) renamed into place
+as the single atomic publish — an interrupted first pass leaves no usable
+cache, and concurrent builders cannot corrupt each other.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import uuid
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -93,7 +95,13 @@ class BatchCacheWriter:
         self.dir = cache_dir
         self.fingerprint = fingerprint
         self.offsets: list = []
-        self._f = open(os.path.join(cache_dir, "batches.bin.tmp"), "wb")
+        # token-unique artifacts + atomic meta.json publish, exactly as in
+        # sample_cache.py: concurrent builders on one cache root must not
+        # share a temp inode (second open() truncates the first) nor race
+        # offsets-of-A against bin-of-B at publish time
+        self.token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self._tmp = os.path.join(cache_dir, f"batches-{self.token}.bin.tmp")
+        self._f = open(self._tmp, "wb")
         self._pos = 0
 
     def add(self, b: VQABatch) -> None:
@@ -104,19 +112,38 @@ class BatchCacheWriter:
 
     def finalize(self, n_samples_dropped: int = 0) -> None:
         self._f.close()
-        os.replace(os.path.join(self.dir, "batches.bin.tmp"),
-                   os.path.join(self.dir, "batches.bin"))
-        np.save(os.path.join(self.dir, "offsets.npy"),
+        os.replace(self._tmp,
+                   os.path.join(self.dir, f"batches-{self.token}.bin"))
+        np.save(os.path.join(self.dir, f"offsets-{self.token}.npy"),
                 np.asarray(self.offsets, np.int64))
-        with open(os.path.join(self.dir, "meta.json"), "w") as f:
+        meta_tmp = os.path.join(self.dir, f"meta-{self.token}.json.tmp")
+        with open(meta_tmp, "w") as f:
             json.dump({"fingerprint": self.fingerprint,
+                       "token": self.token,
                        "n_batches": len(self.offsets),
                        "n_samples_dropped": n_samples_dropped}, f)
+        os.replace(meta_tmp, os.path.join(self.dir, "meta.json"))
+        self._sweep_stale()
+
+    def _sweep_stale(self) -> None:
+        """Best-effort removal of artifacts from losing writers."""
+        try:
+            with open(os.path.join(self.dir, "meta.json")) as f:
+                keep = json.load(f).get("token")
+        except (OSError, ValueError):
+            return
+        for fn in os.listdir(self.dir):
+            if (fn.startswith(("batches-", "offsets-")) and ".tmp" not in fn
+                    and f"-{keep}." not in fn):
+                try:
+                    os.unlink(os.path.join(self.dir, fn))
+                except OSError:
+                    pass
 
     def abort(self) -> None:
         try:
             self._f.close()
-            os.unlink(os.path.join(self.dir, "batches.bin.tmp"))
+            os.unlink(self._tmp)
         except OSError:
             pass
 
@@ -127,8 +154,9 @@ class BatchCache:
     def __init__(self, cache_dir: str):
         with open(os.path.join(cache_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        self.offsets = np.load(os.path.join(cache_dir, "offsets.npy"))
-        self.buf = np.memmap(os.path.join(cache_dir, "batches.bin"),
+        tok = self.meta["token"]
+        self.offsets = np.load(os.path.join(cache_dir, f"offsets-{tok}.npy"))
+        self.buf = np.memmap(os.path.join(cache_dir, f"batches-{tok}.bin"),
                              np.uint8, "r")
 
     def __len__(self) -> int:
@@ -148,7 +176,10 @@ def valid_batch_cache(cache_dir: Optional[str], fingerprint: str) -> Optional[Ba
         return None
     if not os.path.exists(os.path.join(cache_dir, "meta.json")):
         return None
-    cache = BatchCache(cache_dir)
+    try:
+        cache = BatchCache(cache_dir)
+    except (OSError, KeyError, ValueError):
+        return None  # pre-token layout or torn/missing artifacts: rebuild
     if cache.meta.get("fingerprint") != fingerprint:
         import warnings
 

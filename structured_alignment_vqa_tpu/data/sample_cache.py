@@ -12,8 +12,10 @@ Storage: one append-only ``samples.bin`` holding fixed-schema flat records
 (dtype+shape headers + raw bytes, written in arrival order so the writer
 composes with shuffled epochs and worker pools), plus ``index.npy`` mapping
 dataset index -> (offset, length) (-1 = sample is None), plus ``meta.json``
-carrying a DataConfig fingerprint. The index file is written *last*, so an
-interrupted first epoch simply leaves no usable cache. Reads are
+carrying a DataConfig fingerprint. Artifacts are token-named per writer
+and the atomic ``meta.json`` rename is the single publish point, so an
+interrupted first epoch leaves no usable cache and concurrent builders on
+one root cannot corrupt each other (last publisher wins). Reads are
 ``np.frombuffer`` views into one mmap — no parsing, no allocation beyond the
 view objects (~micro-seconds per sample, vs ~ms for tar+npz+graph building).
 
@@ -27,6 +29,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import uuid
 from typing import Optional
 
 import numpy as np
@@ -139,7 +142,18 @@ class SampleCacheWriter:
         self.offsets = np.full(n, -1, np.int64)
         self.lengths = np.full(n, -1, np.int64)
         self.seen = np.zeros(n, bool)
-        self._f = open(os.path.join(cache_dir, "samples.bin.tmp"), "wb")
+        # Per-writer token: two concurrent builders (e.g. two trainer
+        # processes pointed at one cache root) must never share file names —
+        # a shared temp path means the second open() truncates the first's
+        # bytes and the first finalize() renames a half-interleaved file into
+        # place; shared *published* names race offsets-of-A against bin-of-B
+        # (record order differs per shuffled epoch). Every artifact carries
+        # the token and the atomic meta.json rename is the single publish
+        # point: whichever writer renames last wins with a self-consistent
+        # (bin, offsets) pair.
+        self.token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self._tmp = os.path.join(cache_dir, f"samples-{self.token}.bin.tmp")
+        self._f = open(self._tmp, "wb")
         self._pos = 0
 
     def add(self, idx: int, s: Optional[Sample]) -> None:
@@ -161,22 +175,40 @@ class SampleCacheWriter:
         """Atomically publish; returns False (and discards) if incomplete."""
         self._f.close()
         if not self.complete:
-            os.unlink(os.path.join(self.dir, "samples.bin.tmp"))
+            os.unlink(self._tmp)
             return False
-        os.replace(
-            os.path.join(self.dir, "samples.bin.tmp"),
-            os.path.join(self.dir, "samples.bin"),
-        )
-        np.save(os.path.join(self.dir, "offsets.npy"),
+        os.replace(self._tmp, os.path.join(self.dir, f"samples-{self.token}.bin"))
+        np.save(os.path.join(self.dir, f"offsets-{self.token}.npy"),
                 np.stack([self.offsets, self.lengths]))
-        with open(os.path.join(self.dir, "meta.json"), "w") as f:
-            json.dump({"fingerprint": self.fingerprint, "n": self.n}, f)
+        meta_tmp = os.path.join(self.dir, f"meta-{self.token}.json.tmp")
+        with open(meta_tmp, "w") as f:
+            json.dump({"fingerprint": self.fingerprint, "n": self.n,
+                       "token": self.token}, f)
+        os.replace(meta_tmp, os.path.join(self.dir, "meta.json"))
+        self._sweep_stale()
         return True
+
+    def _sweep_stale(self) -> None:
+        """Drop artifacts whose token lost the publish race (best-effort —
+        a reader may hold a losing token's mmap open; POSIX keeps its inode
+        alive until close)."""
+        try:
+            with open(os.path.join(self.dir, "meta.json")) as f:
+                keep = json.load(f).get("token")
+        except (OSError, ValueError):
+            return
+        for fn in os.listdir(self.dir):
+            if (fn.startswith(("samples-", "offsets-")) and ".tmp" not in fn
+                    and f"-{keep}." not in fn):
+                try:
+                    os.unlink(os.path.join(self.dir, fn))
+                except OSError:
+                    pass
 
     def abort(self) -> None:
         try:
             self._f.close()
-            os.unlink(os.path.join(self.dir, "samples.bin.tmp"))
+            os.unlink(self._tmp)
         except OSError:
             pass
 
@@ -187,10 +219,11 @@ class SampleCache:
     def __init__(self, cache_dir: str):
         with open(os.path.join(cache_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        pair = np.load(os.path.join(cache_dir, "offsets.npy"))
+        tok = self.meta["token"]
+        pair = np.load(os.path.join(cache_dir, f"offsets-{tok}.npy"))
         self.offsets, self.lengths = pair[0], pair[1]
         self.buf = np.memmap(
-            os.path.join(cache_dir, "samples.bin"), np.uint8, "r"
+            os.path.join(cache_dir, f"samples-{tok}.bin"), np.uint8, "r"
         )
 
     def __len__(self) -> int:
@@ -209,7 +242,10 @@ def valid_cache(cache_dir: Optional[str], split: str, cfg: DataConfig) -> Option
     meta_fn = os.path.join(cache_dir, "meta.json")
     if not os.path.exists(meta_fn):
         return None
-    cache = SampleCache(cache_dir)
+    try:
+        cache = SampleCache(cache_dir)
+    except (OSError, KeyError, ValueError):
+        return None  # pre-token layout or torn/missing artifacts: rebuild
     if cache.meta.get("fingerprint") != config_fingerprint(split, cfg):
         import warnings
 

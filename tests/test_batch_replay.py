@@ -34,7 +34,8 @@ def test_replay_freezes_composition_and_shuffles_order(fixture_dir, tmp_path):
 
     loader.set_epoch(0)
     ep0 = [_key(b) for b in loader]  # builds + persists
-    assert (tmp_path / "replay" / "batches.bin").exists()
+    assert any(f.name.startswith("batches-") and f.suffix == ".bin"
+               for f in (tmp_path / "replay").iterdir())
 
     loader.set_epoch(1)
     ep1 = [_key(b) for b in loader]  # replays, permuted order

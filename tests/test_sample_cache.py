@@ -154,3 +154,37 @@ class TestLoaderIntegration:
         )
         list(loader)
         assert valid_cache(str(tmp_path / "c"), ds.split, ds.cfg) is None
+
+
+def test_concurrent_writers_cannot_corrupt(ds, tmp_path):
+    """Two interleaved builders on one cache root (e.g. two trainer
+    processes, the round-3 incident): each writer's artifacts are
+    token-unique, the atomic meta.json rename picks a winner, and the
+    published cache decodes every sample exactly."""
+    cdir = str(tmp_path / "cache")
+    w1 = SampleCacheWriter(cdir, len(ds), ds.split, ds.cfg)
+    w2 = SampleCacheWriter(cdir, len(ds), ds.split, ds.cfg)
+    assert w1._tmp != w2._tmp
+    # interleave adds in different orders (shuffled epochs)
+    order1 = list(range(len(ds)))
+    order2 = order1[::-1]
+    samples = [ds.sample(i) for i in order1]
+    for i, j in zip(order1, order2):
+        w1.add(i, samples[i])
+        w2.add(j, samples[j])
+    assert w1.finalize() and w2.finalize()
+    cache = valid_cache(cdir, ds.split, ds.cfg)
+    assert cache is not None and cache.meta["token"] == w2.token
+    for i in range(len(ds)):
+        a, b = samples[i], cache.sample(i)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a.vis_fea), np.asarray(b.vis_fea))
+        np.testing.assert_array_equal(np.asarray(a.macro_ids), np.asarray(b.macro_ids))
+        np.testing.assert_array_equal(np.asarray(a.q_ids), np.asarray(b.q_ids))
+        assert a.answer == b.answer
+    # losing writer's artifacts were swept
+    import os
+    leftovers = [f for f in os.listdir(cdir) if w1.token in f]
+    assert leftovers == []
