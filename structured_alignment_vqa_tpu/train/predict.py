@@ -71,6 +71,11 @@ def main(argv=None):
     parser.add_argument("--pipeline_depth", type=int, default=4,
                         help="batches in flight before the oldest answer is "
                              "fetched (keeps dispatch ahead of the chip)")
+    parser.add_argument("--warmup_batches", type=int, default=0,
+                        help="restart the throughput clock after this many "
+                             "batches have drained (excludes XLA compile and "
+                             "cache-warming from the reported pairs/s; the "
+                             "answers themselves are still written)")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -104,10 +109,12 @@ def main(argv=None):
     sink = sys.stdout if args.out == "-" else open(args.out, "w")
     t0 = time.perf_counter()
     n_out = 0
+    n_drained = 0
+    n_at_t0 = 0
     idx = 0
 
     def drain(preds_dev, valid, base):
-        nonlocal n_out
+        nonlocal n_out, n_drained, t0, n_at_t0
         preds = np.asarray(preds_dev)  # blocks on this batch only
         for j in range(len(preds)):
             if valid[j]:
@@ -117,6 +124,10 @@ def main(argv=None):
                     "answer": id2ans.get(aid, "<other>"),
                 }) + "\n")
                 n_out += 1
+        n_drained += 1
+        if n_drained == args.warmup_batches:
+            t0 = time.perf_counter()
+            n_at_t0 = n_out
 
     # pipelined serving: dispatch is async, so while the chip runs batch t
     # the host collates batch t+1 and fetches batch t-pipeline_depth's
@@ -143,7 +154,14 @@ def main(argv=None):
         if sink is not sys.stdout:
             sink.close()
     dt = time.perf_counter() - t0
-    logger.info("predicted %d answers in %.2fs (%.0f pairs/s)", n_out, dt, n_out / max(dt, 1e-9))
+    n_timed = n_out - n_at_t0
+    logger.info(
+        "predicted %d answers%s in %.2fs (%.0f pairs/s)",
+        n_out,
+        f" ({n_timed} timed after {args.warmup_batches}-batch warmup)"
+        if n_at_t0 else "",
+        dt, n_timed / max(dt, 1e-9),
+    )
     return n_out
 
 
