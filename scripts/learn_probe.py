@@ -90,6 +90,7 @@ def main():
             "--num_workers", "4", "--eval_every", "4",
             "--cache_dir", os.path.join(args.out, "cache"),
             "--batch_replay", "--max_checkpoints", "2",
+            "--checkpoint_every", "4",
         ]
 
     if not args.skip_gen:

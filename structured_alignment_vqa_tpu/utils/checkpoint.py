@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import jax
 import orbax.checkpoint as ocp
 
 from structured_alignment_vqa_tpu.parallel.train_step import TrainState
@@ -33,6 +34,13 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, max_to_keep: O
         "constants": state.constants,
         "step": state.step,
     }
+    if jax.process_count() == 1:
+        # Fetch the whole tree to host FIRST, one bulk transfer per leaf:
+        # orbax's direct save of device arrays reads them in small chunks,
+        # which through the remote-TPU tunnel pays a round trip per chunk
+        # (measured: 14.5 min for a 2.7 GB state vs <1 min via device_get).
+        # Multi-host keeps orbax's coordinated device path.
+        payload = jax.device_get(payload)
     mgr.save(epoch, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()
