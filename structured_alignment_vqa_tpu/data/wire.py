@@ -30,10 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+import ml_dtypes
+
 from structured_alignment_vqa_tpu.data.batch import VQABatch
 
 # dtype group per transfer array
 _GROUPS = {"f32": np.float32, "i32": np.int32, "i8": np.int8}
+_BF16 = np.dtype(ml_dtypes.bfloat16)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,13 +93,22 @@ class WireBatch:
         return VQABatch(**out)
 
 
-def pack_wire(batch: VQABatch) -> WireBatch:
+def pack_wire(batch: VQABatch, bf16_features: bool = False) -> WireBatch:
     """Host-side: flatten each numpy leaf per-sample and concatenate by dtype
     group. ``vis_fea`` is the only f32 leaf, so the big transfer is a
-    zero-copy reshape, not a concat."""
+    zero-copy reshape, not a concat.
+
+    ``bf16_features``: ship the f32 group as bfloat16 — halves the dominant
+    transfer. Unpack casts back to f32, so the step sees bf16-rounded f32
+    values; when the model computes in bf16 (``compute_dtype=bfloat16``) the
+    results are bit-identical to shipping f32 (f32->bf16 rounds once either
+    way; bf16->f32 is exact). Callers must gate this on the compute dtype —
+    an f32-compute model would silently lose feature precision.
+    """
     cols = {g: [] for g in _GROUPS}
     fields = []
     b = None
+    f32_wire = _BF16 if bf16_features else np.float32
     for fld in dataclasses.fields(VQABatch):
         val = getattr(batch, fld.name)
         if val is None:
@@ -106,7 +118,7 @@ def pack_wire(batch: VQABatch) -> WireBatch:
         group = _group_of(arr)
         offset = sum(int(np.prod(a.shape[1:], dtype=np.int64)) for a in cols[group])
         fields.append(_Field(fld.name, group, offset, tuple(arr.shape[1:]), str(arr.dtype)))
-        wire_dtype = _GROUPS[group]
+        wire_dtype = f32_wire if group == "f32" else _GROUPS[group]
         cols[group].append(
             np.ascontiguousarray(arr.astype(wire_dtype, copy=False)).reshape(b, -1)
         )
@@ -116,7 +128,8 @@ def pack_wire(batch: VQABatch) -> WireBatch:
     )
     packed = {
         g: (np.concatenate(cols[g], axis=1) if len(cols[g]) > 1
-            else (cols[g][0] if cols[g] else np.zeros((b, 0), _GROUPS[g])))
+            else (cols[g][0] if cols[g]
+                  else np.zeros((b, 0), f32_wire if g == "f32" else _GROUPS[g])))
         for g in _GROUPS
     }
     return WireBatch(f32=packed["f32"], i32=packed["i32"], i8=packed["i8"], spec=spec)

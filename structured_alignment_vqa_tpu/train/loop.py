@@ -197,6 +197,9 @@ def train(
 
     state = shard_state(state, mesh)
     train_step = make_train_step(model, tx, model_cfg, with_milnce=tc.with_milnce)
+    # f32 features ship as bf16 when the model computes in bf16 (exact:
+    # the step's own cast rounds identically — data/wire.py)
+    bf16_wire = model_cfg.compute_dtype == jnp.bfloat16
     eval_step = make_eval_step(model, model_cfg, with_milnce=tc.with_milnce)
     rng = jax.random.key(tc.seed + 1)
     timer = StepTimer()
@@ -232,7 +235,7 @@ def train(
                 metrics_out.log("Avg Loss", loss_meter.avg, int(state.step))
                 metrics_out.log("Avg MILNCE_loss", mil_meter.avg, int(state.step))
 
-        for i, batch in enumerate(_mesh_iter(train_loader, mesh)):
+        for i, batch in enumerate(_mesh_iter(train_loader, mesh, bf16_features=bf16_wire)):
             if tc.profile_steps and proc == 0 and epoch == start_epoch:
                 if i == tc.profile_start:
                     jax.profiler.start_trace(f"{tc.output_dir}/profile")
@@ -257,9 +260,11 @@ def train(
                 save_checkpoint(ckpt_dir, state, epoch + 1, tc.max_checkpoints)
             continue
         val_loss, val_corr, val_n = run_eval(
-            eval_step, state, _mesh_iter(val_loader, mesh), logger, tc.log_steps_val, "val")
+            eval_step, state, _mesh_iter(val_loader, mesh, bf16_features=bf16_wire),
+            logger, tc.log_steps_val, "val")
         train_loss, tr_corr, tr_n = run_eval(
-            eval_step, state, _mesh_iter(train_loader, mesh), logger, tc.log_steps, "train")
+            eval_step, state, _mesh_iter(train_loader, mesh, bf16_features=bf16_wire),
+            logger, tc.log_steps, "train")
 
         if proc == 0:
             val_acc = val_corr / max(val_n, 1)
@@ -283,31 +288,45 @@ def train(
     return state
 
 
-def _mesh_iter(loader, mesh, prefetch: int = 2, wire: bool = True):
-    """Device-put batches ``prefetch`` ahead of consumption.
+def _mesh_iter(loader, mesh, prefetch: int = 2, wire: bool = True,
+               bf16_features: bool = False):
+    """Device-put batches ``prefetch`` ahead of consumption, off-thread.
 
-    device_put is asynchronous, so starting the next batch's host->device
-    transfer while the current step computes hides the transfer behind the
-    step — decisive on a remote-TPU tunnel, where a bs-128 batch is tens of
-    MB even with int8 mask wires.
+    Through the remote-TPU tunnel ``jax.device_put`` blocks the calling
+    thread for the duration of the copy, so an inline prefetch deque never
+    actually overlaps transfer with compute — the put of batch t+2 runs
+    *between* the dispatches of steps t and t+1. A single worker thread
+    owns pack+put (order-preserving); numpy packing and the transfer both
+    release the GIL, so the main thread keeps dispatching steps.
 
     ``wire``: pack the 18-leaf batch into 3 dtype-grouped arrays before the
     transfer (data/wire.py) — each host->device put pays a fixed per-array
     cost, and 18x that overhead dwarfed the step itself (measured ~750 ms
     vs 123 ms compute, docs/DESIGN.md "Transfer batching"). The jitted step
     unpacks with static slices, which XLA fuses away.
+
+    ``bf16_features``: ship f32 features as bf16 (half the bytes); only
+    valid when the model computes in bf16 (see ``pack_wire``).
     """
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     from structured_alignment_vqa_tpu.data.wire import pack_wire
 
-    buf = deque()
-    for batch in loader:
-        buf.append(put_batch(pack_wire(batch) if wire else batch, mesh))
-        if len(buf) >= prefetch:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    def ship(batch):
+        return put_batch(
+            pack_wire(batch, bf16_features=bf16_features) if wire else batch,
+            mesh,
+        )
+
+    with ThreadPoolExecutor(1) as ex:
+        buf = deque()
+        for batch in loader:
+            buf.append(ex.submit(ship, batch))
+            if len(buf) >= prefetch:
+                yield buf.popleft().result()
+        while buf:
+            yield buf.popleft().result()
 
 
 def graft_glove(params, table: np.ndarray):

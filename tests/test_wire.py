@@ -105,3 +105,25 @@ def test_spec_hashable_one_compile_per_bucket():
     host = _np_batch(batch)
     w1, w2 = pack_wire(host), pack_wire(host)
     assert w1.spec == w2.spec and hash(w1.spec) == hash(w2.spec)
+
+
+def test_bf16_features_exact_for_bf16_compute():
+    """Shipping features as bf16 must be invisible to a bf16-compute model:
+    unpack returns f32 whose values are the bf16 rounding the step's own
+    cast would apply anyway."""
+    import ml_dtypes
+    import jax.numpy as jnp
+
+    cfg, model, batch, tx, state = setup(batch_size=4)
+    host = _np_batch(batch)
+    w = pack_wire(host, bf16_features=True)
+    assert w.f32.dtype == np.dtype(ml_dtypes.bfloat16)
+    out = jax.jit(lambda wb: wb.unpack().vis_fea)(w)
+    assert out.dtype == jnp.float32
+    expect = host.vis_fea.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+    # the step's own bf16 cast of the shipped values is idempotent
+    np.testing.assert_array_equal(
+        expect.astype(ml_dtypes.bfloat16),
+        host.vis_fea.astype(ml_dtypes.bfloat16),
+    )
