@@ -133,21 +133,40 @@ def main(argv=None):
     # the host collates batch t+1 and fetches batch t-pipeline_depth's
     # answers. Batches ship in the 3-array wire format (data/wire.py) — the
     # per-array transfer overhead that dominated the train loop applies
-    # identically here.
+    # identically here — with f32 features as bf16 when the model computes
+    # in bf16, and pack+put on a worker thread: device_put through the
+    # remote-TPU tunnel blocks its calling thread, so an inline put would
+    # serialize transfer with dispatch (same fix as train/loop._mesh_iter).
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
 
     from structured_alignment_vqa_tpu.data.wire import pack_wire
 
+    bf16_wire = model_cfg.compute_dtype == jnp.bfloat16
+
+    def ship(batch):
+        return put_batch(pack_wire(batch, bf16_features=bf16_wire), mesh)
+
     pending: deque = deque()
+    shipped: deque = deque()
     try:
-        for batch in loader:
-            dev = put_batch(pack_wire(batch), mesh)
-            pending.append(
-                (predict(state, dev), np.asarray(batch.sample_valid), idx)
-            )
-            idx += batch.batch_size
-            if len(pending) >= max(args.pipeline_depth, 1):
-                drain(*pending.popleft())
+        with ThreadPoolExecutor(1) as ex:
+            for batch in loader:
+                shipped.append((ex.submit(ship, batch),
+                                np.asarray(batch.sample_valid)))
+                if len(shipped) < 2:
+                    continue
+                dev, valid = shipped.popleft()
+                pending.append((predict(state, dev.result()), valid, idx))
+                idx += len(valid)
+                if len(pending) >= max(args.pipeline_depth, 1):
+                    drain(*pending.popleft())
+            while shipped:
+                dev, valid = shipped.popleft()
+                pending.append((predict(state, dev.result()), valid, idx))
+                idx += len(valid)
         while pending:
             drain(*pending.popleft())
     finally:
