@@ -574,6 +574,25 @@ class BatchLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def replay_cache(self):
+        """The materialized replay/batch cache, if built and valid (None
+        otherwise). Exposed so the trainer can pin the frozen batch set
+        device-resident (train/loop.py) instead of re-shipping every epoch."""
+        from structured_alignment_vqa_tpu.data.batch_cache import valid_batch_cache
+
+        root = self.batch_replay_dir or self.batch_cache_dir
+        if not root:
+            return None
+        return valid_batch_cache(root, self._batch_fingerprint())
+
+    def replay_order(self, epoch: int, n: int) -> np.ndarray:
+        """The batch order replay uses for ``epoch`` — single source of truth
+        for the permutation, shared by __iter__ and the device-resident path."""
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, 0x5EBA, epoch)).shuffle(order)
+        return order
+
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.ds))
         if self.shuffle:
@@ -597,12 +616,7 @@ class BatchLoader:
             cache = valid_batch_cache(self.batch_replay_dir, fp)
             if cache is not None:
                 self.last_dropped = cache.meta.get("n_samples_dropped", 0)
-                order = np.arange(len(cache))
-                if self.shuffle:
-                    np.random.default_rng(
-                        (self.seed, 0x5EBA, self.epoch)
-                    ).shuffle(order)
-                for i in order:
+                for i in self.replay_order(self.epoch, len(cache)):
                     yield cache.batch(int(i))
                 return
             writer = BatchCacheWriter(self.batch_replay_dir, fp)

@@ -85,6 +85,14 @@ class TrainerConfig:
     # linear LR warmup over this many steps, then the constant reference LR
     # (0 = plain Adam, the reference's schedule-free behavior, `main:206`)
     warmup_steps: int = 0
+    # Device-resident frozen batches: once batch_replay (train) / the val
+    # batch cache has materialized, ship every batch to HBM ONCE and train/
+    # eval from residency — per-epoch order still reshuffles. Set for remote
+    # -TPU tunnels, where each device_put is slow (~3 s per bs-128 batch
+    # measured) AND leaks its host staging buffer in the plugin (~70 MB per
+    # put — a 40-epoch streamed run OOMs a 125 GB host). This is the budget
+    # in GB of device memory the batches may occupy; 0 disables (stream).
+    resident_gb: float = 8.0
 
 
 def run_eval(eval_step, state, loader, logger, log_steps, tag="",
@@ -204,8 +212,18 @@ def train(
     rng = jax.random.key(tc.seed + 1)
     timer = StepTimer()
 
+    # device-resident frozen batches (see TrainerConfig.resident_gb): pinned
+    # lazily, the first epoch after the corresponding cache materializes
+    resident_budget = tc.resident_gb * 1e9
+    resident_train = resident_val = None
+
     for epoch in range(start_epoch, tc.num_epochs):
         train_loader.set_epoch(epoch)
+        if tc.batch_replay and resident_train is None and resident_budget > 0:
+            resident_train = _make_resident(
+                train_loader, mesh, bf16_wire, resident_budget, logger)
+            if resident_train is not None:
+                resident_budget -= resident_train[1]
         loss_meter, mil_meter = AverageMeter(), AverageMeter()
 
         tracing = False
@@ -235,7 +253,12 @@ def train(
                 metrics_out.log("Avg Loss", loss_meter.avg, int(state.step))
                 metrics_out.log("Avg MILNCE_loss", mil_meter.avg, int(state.step))
 
-        for i, batch in enumerate(_mesh_iter(train_loader, mesh, bf16_features=bf16_wire)):
+        if resident_train is not None:
+            batches = (resident_train[0][int(j)] for j in
+                       train_loader.replay_order(epoch, len(resident_train[0])))
+        else:
+            batches = _mesh_iter(train_loader, mesh, bf16_features=bf16_wire)
+        for i, batch in enumerate(batches):
             if tc.profile_steps and proc == 0 and epoch == start_epoch:
                 if i == tc.profile_start:
                     jax.profiler.start_trace(f"{tc.output_dir}/profile")
@@ -259,11 +282,23 @@ def train(
             if (epoch + 1) % tc.checkpoint_every == 0:
                 save_checkpoint(ckpt_dir, state, epoch + 1, tc.max_checkpoints)
             continue
+        if resident_val is None and resident_budget > 0:
+            # materializes on the first (streamed) val pass, resident after
+            resident_val = _make_resident(
+                val_loader, mesh, bf16_wire, resident_budget, logger)
+            if resident_val is not None:
+                resident_budget -= resident_val[1]
         val_loss, val_corr, val_n = run_eval(
-            eval_step, state, _mesh_iter(val_loader, mesh, bf16_features=bf16_wire),
+            eval_step, state,
+            iter(resident_val[0]) if resident_val is not None
+            else _mesh_iter(val_loader, mesh, bf16_features=bf16_wire),
             logger, tc.log_steps_val, "val")
+        # train eval reuses the resident replay batches — identical content,
+        # and eval order does not affect the psum'd metrics
         train_loss, tr_corr, tr_n = run_eval(
-            eval_step, state, _mesh_iter(train_loader, mesh, bf16_features=bf16_wire),
+            eval_step, state,
+            iter(resident_train[0]) if resident_train is not None
+            else _mesh_iter(train_loader, mesh, bf16_features=bf16_wire),
             logger, tc.log_steps, "train")
 
         if proc == 0:
@@ -286,6 +321,40 @@ def train(
             save_checkpoint(ckpt_dir, state, epoch + 1, tc.max_checkpoints)
 
     return state
+
+
+def _make_resident(loader, mesh, bf16_features: bool, budget_bytes: float,
+                   logger) -> Optional[list]:
+    """Pin a loader's materialized frozen batches device-resident.
+
+    Returns the list of device-side WireBatches (index i = cache batch i),
+    or None when there is no valid cache yet or the set exceeds the budget.
+    Ships each batch exactly once; afterwards epochs cost zero host->device
+    traffic (the per-put plugin leak and the ~23 MB/s tunnel both stop
+    mattering). The training step donates only the state, so resident
+    batches are reusable across steps and epochs.
+    """
+    from structured_alignment_vqa_tpu.data.wire import pack_wire
+
+    cache = loader.replay_cache()
+    if cache is None or budget_bytes <= 0:
+        return None
+    wires = []
+    total = 0
+    for i in range(len(cache)):
+        w = pack_wire(cache.batch(i), bf16_features=bf16_features)
+        total += sum(np.asarray(getattr(w, g)).nbytes for g in ("f32", "i32", "i8"))
+        if total > budget_bytes:
+            logger.info(
+                "resident batches over budget (%.1f GB > %.1f GB) at %d/%d; streaming",
+                total / 1e9, budget_bytes / 1e9, i + 1, len(cache),
+            )
+            return None
+        wires.append(w)
+    dev = [put_batch(w, mesh) for w in wires]
+    logger.info("pinned %d frozen batches device-resident (%.2f GB)",
+                len(dev), total / 1e9)
+    return dev, total
 
 
 def _mesh_iter(loader, mesh, prefetch: int = 2, wire: bool = True,

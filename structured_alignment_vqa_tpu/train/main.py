@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "LR (0 = reference behavior, no warmup)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas kernel tier (wins on unaligned shapes)")
+    p.add_argument("--resident_gb", type=float, default=8.0,
+                   help="device-memory budget (GB) for pinning frozen "
+                        "replay/eval batches resident in HBM — epochs then "
+                        "cost zero host->device transfers (0 = stream)")
     return p
 
 
@@ -200,6 +204,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         profile_steps=args.profile_steps,
         eval_every=args.eval_every,
         warmup_steps=args.warmup_steps,
+        resident_gb=args.resident_gb,
         checkpoint_every=args.checkpoint_every,
         max_checkpoints=args.max_checkpoints or None,
     )
