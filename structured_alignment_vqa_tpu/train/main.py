@@ -125,6 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "LR (0 = reference behavior, no warmup)")
     p.add_argument("--use_pallas", action="store_true",
                    help="use the fused Pallas kernel tier (wins on unaligned shapes)")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint over encoder blocks: recompute "
+                        "activations in the backward instead of saving them "
+                        "— frees HBM for device-resident batches")
     p.add_argument("--resident_gb", type=float, default=8.0,
                    help="device-memory budget (GB) for pinning frozen "
                         "replay/eval batches resident in HBM — epochs then "
@@ -168,6 +172,7 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         share_glove=args.share_glove,
         use_pallas_attention=args.use_pallas,
+        remat_blocks=args.remat,
     )
 
     def data_cfg(fea, q, g):
