@@ -99,6 +99,10 @@ def main():
             "--cache_dir", os.path.join(args.out, "cache"),
             "--batch_replay", "--max_checkpoints", "2",
             "--checkpoint_every", "4",
+            # remat is what makes full batch residency fit: without it the
+            # bs-128 activation peak + 4.8 GB of pinned replay batches +
+            # GloVe/Adam state OOM the 16 GB chip at the first replay step
+            "--remat",
         ]
 
     if not args.skip_gen:
