@@ -11,7 +11,10 @@ One real chip is attached, so multi-chip wall-clock is unmeasurable here
 * CPU virtual-mesh wall-clock as a sanity signal only (interpret-mode
   kernels dominate; do not read it as TPU time).
 
-Usage: python scripts/bench_seqpar.py [L] [n_dev] [heads]
+Usage: python scripts/bench_seqpar.py [L] [n_dev] [heads] [--bytes_only]
+(--bytes_only compiles and counts HLO collective bytes without executing —
+large-L interpret-mode runs take many minutes on this 1-core box and add
+no information beyond the compile.)
 """
 
 from __future__ import annotations
@@ -60,9 +63,11 @@ def collective_bytes(hlo: str) -> dict:
 
 
 def main():
-    l = int(sys.argv[1]) if len(sys.argv) > 1 else 1536
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    h = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    bytes_only = "--bytes_only" in sys.argv
+    argv = [a for a in sys.argv if a != "--bytes_only"]
+    l = int(argv[1]) if len(argv) > 1 else 1536
+    n = int(argv[2]) if len(argv) > 2 else 4
+    h = int(argv[3]) if len(argv) > 3 else 8
     b, c = 4, 512
     rng = np.random.default_rng(0)
     x = rng.standard_normal((b, l, c)).astype(np.float32)
@@ -94,6 +99,11 @@ def main():
         hlo = jitted.lower(q, k, v).compile().as_text()
         byts = collective_bytes(hlo)
         total = sum(byts.values())
+        graph_mb = (b * l * (l // n if name == "ring" else l) * 4) / 1e6
+        if bytes_only:
+            print(f"{name:8s} fwd+bwd collectives: {byts}  total {total/1e6:.1f} MB "
+                  f"| per-device graph mem: {graph_mb:.0f} MB | (not executed)")
+            continue
         t0 = time.perf_counter()
         r = jitted(q, k, v)
         jax.block_until_ready(r)
@@ -102,8 +112,7 @@ def main():
         jax.block_until_ready(r)
         t2 = time.perf_counter()
         print(f"{name:8s} fwd+bwd collectives: {byts}  total {total/1e6:.1f} MB "
-              f"| per-device graph mem: "
-              f"{(b * l * (l // n if name == 'ring' else l) * 4) / 1e6:.0f} MB "
+              f"| per-device graph mem: {graph_mb:.0f} MB "
               f"| cpu-mesh wall (2nd call): {t2 - t1:.2f}s (interpret-dominated)")
 
 
