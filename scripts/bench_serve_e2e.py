@@ -33,7 +33,7 @@ PROD_FLAGS = [
     "--batch_size", "128", "--maxlen", "450", "--maxlen_q", "30",
     "--maxlen_v", "50", "--hidden_size", "512", "--hidden_size_mil", "1024",
     "--num_blocks", "6", "--num_heads", "8",
-    "--min_cnt", "50", "--topN", "5", "--bbox_bin_num", "64",
+    "--min_cnt", "50", "--topN", "5", "--bbox_bin_num", "32",
     "--vocab_size", "407000", "--glove_dim", "300",
     "--bf16", "--share_glove", "--num_workers", "4",
 ]
@@ -53,11 +53,17 @@ def main():
     if not args.skip_gen:
         from structured_alignment_vqa_tpu.data.fixtures import write_fixture
 
-        # 10k questions on the production obj-only length mix
+        # 10k questions on the production obj-only length mix. Data recipe
+        # matches the prod learning run (learn_probe --preset prod). NOTE:
+        # class feature prototypes are seed-tied (fixtures.py), so for
+        # *meaningful answers* serve the corpus the checkpoint was trained
+        # on (--skip_gen --root <train fixture>); a fresh seed here measures
+        # throughput on unseen data only.
         write_fixture(
             args.root, n_images=600, n_questions=10000, seed=7,
             n_obj_range=(10, 36), n_words_range=(3, 15), n_classes=1600,
-            bbox_bin_num=64, class_feature_sigma=0.5, p_detector_correct=0.9,
+            bbox_bin_num=32, class_feature_sigma=0.3, p_detector_correct=0.95,
+            p_easy=0.15,
         )
         print(f"fixture at {args.root}", flush=True)
 
