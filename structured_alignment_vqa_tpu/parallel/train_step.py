@@ -130,21 +130,31 @@ def make_train_step(
             }
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+
+        def do_update(operand):
+            grads, opt_state, params = operand
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
 
         if skip_nonfinite:
             finite = jnp.all(jnp.asarray(
                 [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
             ))
-            new_params = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old), new_params, state.params
-            )
-            new_opt_state = jax.tree.map(
-                lambda new, old: jnp.where(finite, new, old) if hasattr(new, "dtype") else new,
-                new_opt_state, state.opt_state,
+            # lax.cond (not jnp.where over every leaf): the common finite
+            # path pays only the Adam update — the per-leaf selects cost a
+            # full extra read+write pass over params AND opt state (~8 ms
+            # at the bs-128 production point, docs/DESIGN.md round-3 MFU).
+            new_params, new_opt_state = jax.lax.cond(
+                finite,
+                do_update,
+                lambda operand: (operand[2], operand[1]),
+                (grads, state.opt_state, state.params),
             )
             metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+        else:
+            new_params, new_opt_state = do_update(
+                (grads, state.opt_state, state.params)
+            )
 
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
