@@ -10,8 +10,11 @@ and both models answer the same val batches. Reported:
 * **agreement** — fraction of valid samples where the reference argmax
   equals this framework's argmax (the interop number; ~1.0 means the
   exported checkpoint IS the trained model, not merely load-compatible);
-* accuracy of each side on samples with ``answer != 0`` (the reference's
-  counting rule, `main_itp_ddp_tar_super_node.py:125-126`).
+* accuracy of each side under the reference's counting rule
+  (`main_itp_ddp_tar_super_node.py:126-127`): the numerator is restricted to
+  in-vocab answers (answer != 0) but the denominator is the full valid batch
+  (``cnt += batch_size``), matching this repo's `losses.py:batch_metrics` so
+  the number is directly comparable to the trainer's logged val accuracy.
 
 Everything runs f32 on CPU (the reference has no TPU path; ``.cuda()`` is
 no-op'd the same way the parity suite does it) — safe to run while the
@@ -148,16 +151,19 @@ def main():
         ans = np.asarray(b.answer)
         n_valid += int(valid.sum())
         n_agree += int((ours[valid] == theirs[valid]).sum())
-        scored = valid & (ans != 0)  # the reference's counting rule
-        n_scored += int(scored.sum())
+        # the reference's counting rule (`main:126-127`): numerator over
+        # in-vocab answers only, denominator the full valid batch — same as
+        # losses.py:batch_metrics, so this matches the trainer's val accuracy
+        scored = valid & (ans != 0)
+        n_scored += int(valid.sum())
         ours_correct += int((ours[scored] == ans[scored]).sum())
         ref_correct += int((theirs[scored] == ans[scored]).sum())
         print(f"batch {bi}: agree {int((ours[valid] == theirs[valid]).sum())}"
               f"/{int(valid.sum())}", flush=True)
 
     print(f"\nagreement: {n_agree}/{n_valid} = {n_agree / max(n_valid, 1):.4f}")
-    print(f"accuracy (answer!=0, n={n_scored}): "
-          f"ours {ours_correct / max(n_scored, 1):.4f}  "
+    print(f"accuracy (in-vocab numerator / full-valid-batch denominator, "
+          f"n={n_scored}): ours {ours_correct / max(n_scored, 1):.4f}  "
           f"reference-with-exported-weights {ref_correct / max(n_scored, 1):.4f}")
 
 
