@@ -43,16 +43,60 @@ class TrainState:
     constants: Any = struct.field(default_factory=dict)  # frozen MCB sketches etc.
 
 
-def create_train_state(model, rng, sample_batch: VQABatch, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    model,
+    rng,
+    sample_batch: VQABatch,
+    tx: optax.GradientTransformation,
+    sparse_table: bool = False,
+    table_moments_dtype=jnp.float32,
+) -> TrainState:
+    """``sparse_table``: the shared GloVe table's Adam state moves out of the
+    optax tree into a :class:`sparse_table.TableOpt` (opt_state becomes the
+    pair ``(tx_state, table_opt)``); the optax state then holds a zero-size
+    stub at the table path, so dense moments are never allocated for it."""
     variables = model.init(rng, sample_batch)
     params = variables["params"]
     constants = dict(variables.get("constants", {}))
+    if sparse_table:
+        from structured_alignment_vqa_tpu.parallel.sparse_table import (
+            TABLE_PATH,
+            init_table_opt,
+        )
+
+        table = _tree_get(params, TABLE_PATH)
+        stub = _tree_set(params, TABLE_PATH, _empty_like(table))
+        opt_state = (tx.init(stub), init_table_opt(table, table_moments_dtype))
+    else:
+        opt_state = tx.init(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         constants=constants,
     )
+
+
+def _tree_get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _tree_set(tree, path, value):
+    if not path:
+        return value
+    new = dict(tree)
+    new[path[0]] = _tree_set(tree[path[0]], path[1:], value)
+    return new
+
+
+def _empty_like(table):
+    """One-row stand-in keeping the param-tree structure (and therefore the
+    optax state structure) identical while costing optax one row of moments
+    instead of 407k. One row, not zero: orbax refuses zero-size arrays at
+    checkpoint save."""
+    return jnp.zeros((1,) + table.shape[1:], table.dtype)
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
@@ -96,46 +140,58 @@ def make_train_step(
     with_milnce: bool = True,
     smooth_eps: float = 0.1,
     skip_nonfinite: bool = True,
+    sparse_table: bool = False,
+    table_lr: float = 1e-4,
+    table_warmup_steps: int = 0,
 ) -> Callable:
     """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
 
     ``skip_nonfinite``: when a step produces any non-finite gradient the
     update is dropped (params/opt state unchanged) and ``metrics['skipped']``
     is 1 — failure containment the reference lacks entirely (SURVEY.md section 5.3;
-    its only guard was `torch.autograd.set_detect_anomaly`, a debugger)."""
+    its only guard was `torch.autograd.set_detect_anomaly`, a debugger).
 
-    def step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
-        batch = as_vqa_batch(batch)  # wire-format batches unpack in-jit (data/wire.py)
-        dropout_rng = jax.random.fold_in(rng, state.step)
+    ``sparse_table``: update only the GloVe-table rows the batch touches
+    (`parallel/sparse_table.py`): the forward runs on a compacted (U, 300)
+    row block so the gradient never materializes at table size, and Adam
+    gathers/scatters the touched rows. Requires ``cfg.share_glove`` and a
+    state built with ``create_train_state(..., sparse_table=True)``;
+    ``table_lr``/``table_warmup_steps`` must repeat the schedule ``tx`` was
+    built with (the table no longer flows through ``tx``)."""
+    if sparse_table:
+        if not cfg.share_glove:
+            raise ValueError("sparse_table requires cfg.share_glove (one table)")
+        if cfg.int8_serving:
+            raise ValueError("sparse_table is a training path; int8 is serving-only")
+        from structured_alignment_vqa_tpu.parallel.sparse_table import (
+            TABLE_PATH,
+            remap_batch,
+            sparse_adam_update,
+        )
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.constants:
-                variables["constants"] = state.constants
-            lc, lv, ls_, mil_obj, mil_rel = model.apply(
-                variables, batch, deterministic=False, rngs={"dropout": dropout_rng}
-            )
-            ce, log_sm = ensemble_smoothed_ce(
-                lc, lv, ls_, batch.answer, batch.sample_valid, smooth_eps
-            )
-            mil = mil_nce_loss(mil_obj, mil_rel, cfg.only_obj)
-            loss = ce + (mil if with_milnce else 0.0)
-            n_correct, n = batch_metrics(log_sm, batch.answer, batch.sample_valid)
-            return loss, {
-                "loss": loss,
-                "ce": ce,
-                "mil_nce_loss": mil,
-                "n_correct": n_correct,
-                "n": n,
-            }
+    def loss_and_metrics(apply_model, params, batch, constants, dropout_rng):
+        variables = {"params": params}
+        if constants:
+            variables["constants"] = constants
+        lc, lv, ls_, mil_obj, mil_rel = apply_model.apply(
+            variables, batch, deterministic=False, rngs={"dropout": dropout_rng}
+        )
+        ce, log_sm = ensemble_smoothed_ce(
+            lc, lv, ls_, batch.answer, batch.sample_valid, smooth_eps
+        )
+        mil = mil_nce_loss(mil_obj, mil_rel, cfg.only_obj)
+        loss = ce + (mil if with_milnce else 0.0)
+        n_correct, n = batch_metrics(log_sm, batch.answer, batch.sample_valid)
+        return loss, {
+            "loss": loss,
+            "ce": ce,
+            "mil_nce_loss": mil,
+            "n_correct": n_correct,
+            "n": n,
+        }
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-
-        def do_update(operand):
-            grads, opt_state, params = operand
-            updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt
-
+    def finish(state, metrics, grads, do_update, identity_operand):
+        """Shared skip-nonfinite guard + state assembly."""
         if skip_nonfinite:
             finite = jnp.all(jnp.asarray(
                 [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
@@ -145,23 +201,89 @@ def make_train_step(
             # full extra read+write pass over params AND opt state (~8 ms
             # at the bs-128 production point, docs/DESIGN.md round-3 MFU).
             new_params, new_opt_state = jax.lax.cond(
-                finite,
-                do_update,
-                lambda operand: (operand[2], operand[1]),
-                (grads, state.opt_state, state.params),
+                finite, do_update, lambda op: identity_operand, grads
             )
             metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
         else:
-            new_params, new_opt_state = do_update(
-                (grads, state.opt_state, state.params)
-            )
-
-        new_state = state.replace(
+            new_params, new_opt_state = do_update(grads)
+        return state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
-        )
-        return new_state, metrics
+        ), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
+        batch = as_vqa_batch(batch)  # wire-format batches unpack in-jit (data/wire.py)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return loss_and_metrics(model, params, batch, state.constants, dropout_rng)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        def do_update(grads):
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            return optax.apply_updates(state.params, updates), new_opt
+
+        return finish(state, metrics, grads, do_update,
+                      (state.params, state.opt_state))
+
+    def sparse_step_fn(state: TrainState, batch: VQABatch, rng: jax.Array):
+        batch = as_vqa_batch(batch)
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        table = _tree_get(state.params, TABLE_PATH)
+        rbatch, uids, valid = remap_batch(batch, cfg)
+        # The model runs unchanged over the compacted block: same module
+        # code, the table is just U rows tall and the batch's ids are block
+        # positions. Autodiff therefore scatters gradients into U rows.
+        model_u = model.clone(cfg=cfg.replace(vocab_size=int(uids.shape[0])))
+        rows = jnp.take(table, uids, axis=0)
+        diff_params = _tree_set(state.params, TABLE_PATH, rows)
+
+        def loss_fn(params):
+            return loss_and_metrics(model_u, params, rbatch, state.constants, dropout_rng)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff_params)
+
+        rows_grad = _tree_get(grads, TABLE_PATH)
+        grads_rest = _tree_set(grads, TABLE_PATH, _empty_like(table))
+        params_rest = _tree_set(state.params, TABLE_PATH, _empty_like(table))
+        tx_state, topt = state.opt_state
+
+        finite = None
+        if skip_nonfinite:
+            finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+            ))
+            metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+
+        # The table/moment update runs OUTSIDE the skip guard's lax.cond with
+        # masked deltas (``apply=finite``): a cond whose identity branch
+        # returns the original buffers defeats input-output aliasing, and the
+        # "sparse" path then copies the full table + both moment tables every
+        # step (measured ~15 ms — docs/DESIGN.md round-4).
+        new_table, new_topt = sparse_adam_update(
+            table, topt, rows_grad, uids, valid,
+            table_lr, table_warmup_steps, apply=finite,
+        )
+
+        def do_update(_):
+            updates, new_tx = tx.update(grads_rest, tx_state, params_rest)
+            return optax.apply_updates(params_rest, updates), new_tx
+
+        if skip_nonfinite:
+            new_rest, new_tx = jax.lax.cond(
+                finite, do_update, lambda _: (params_rest, tx_state), grads_rest
+            )
+        else:
+            new_rest, new_tx = do_update(grads_rest)
+
+        return state.replace(
+            step=state.step + 1,
+            params=_tree_set(new_rest, TABLE_PATH, new_table),
+            opt_state=(new_tx, new_topt),
+        ), metrics
+
+    return jax.jit(sparse_step_fn if sparse_table else step_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model, cfg: ModelConfig, with_milnce: bool = True, smooth_eps: float = 0.1) -> Callable:

@@ -85,6 +85,14 @@ class TrainerConfig:
     # linear LR warmup over this many steps, then the constant reference LR
     # (0 = plain Adam, the reference's schedule-free behavior, `main:206`)
     warmup_steps: int = 0
+    # sparse/segmented Adam for the shared GloVe table: only the rows a batch
+    # touches are read/updated (parallel/sparse_table.py). Lazy-Adam
+    # semantics (untouched rows do not decay their moments) — opt-in with a
+    # tested, bounded trajectory deviation vs the reference's dense Adam.
+    # Requires model_cfg.share_glove.
+    sparse_table: bool = False
+    # store the sparse table's Adam moments in bfloat16 (halves their HBM)
+    table_moments_bf16: bool = False
     # Device-resident frozen batches: once batch_replay (train) / the val
     # batch cache has materialized, ship every batch to HBM ONCE and train/
     # eval from residency — per-epoch order still reshuffles. Set for remote
@@ -192,7 +200,11 @@ def train(
     probe = next(iter(BatchLoader(
         train_ds, tc.batch_size, shuffle=False, num_threads=tc.num_workers
     )))
-    state = create_train_state(model, jax.random.key(tc.seed), probe, tx)
+    state = create_train_state(
+        model, jax.random.key(tc.seed), probe, tx,
+        sparse_table=tc.sparse_table,
+        table_moments_dtype=jnp.bfloat16 if tc.table_moments_bf16 else jnp.float32,
+    )
 
     if glove_table is not None:
         state = state.replace(params=graft_glove(state.params, glove_table))
@@ -204,7 +216,11 @@ def train(
         logger.info("resumed from epoch %d", start_epoch)
 
     state = shard_state(state, mesh)
-    train_step = make_train_step(model, tx, model_cfg, with_milnce=tc.with_milnce)
+    train_step = make_train_step(
+        model, tx, model_cfg, with_milnce=tc.with_milnce,
+        sparse_table=tc.sparse_table, table_lr=tc.lr,
+        table_warmup_steps=tc.warmup_steps,
+    )
     # f32 features ship as bf16 when the model computes in bf16 (exact:
     # the step's own cast rounds identically — data/wire.py)
     bf16_wire = model_cfg.compute_dtype == jnp.bfloat16

@@ -129,6 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.checkpoint over encoder blocks: recompute "
                         "activations in the backward instead of saving them "
                         "— frees HBM for device-resident batches")
+    p.add_argument("--sparse_table", action="store_true",
+                   help="sparse/segmented Adam for the shared GloVe table: "
+                        "update only the rows each batch touches "
+                        "(parallel/sparse_table.py; lazy-Adam semantics — "
+                        "requires --share_glove)")
+    p.add_argument("--table_moments_bf16", action="store_true",
+                   help="store the sparse table's Adam moments in bfloat16 "
+                        "(half the 976 MB f32 moment HBM; bounded-deviation "
+                        "tested)")
     p.add_argument("--resident_gb", type=float, default=8.0,
                    help="device-memory budget (GB) for pinning frozen "
                         "replay/eval batches resident in HBM — epochs then "
@@ -209,6 +218,8 @@ def configs_from_args(args) -> tuple[ModelConfig, DataConfig, DataConfig, Traine
         profile_steps=args.profile_steps,
         eval_every=args.eval_every,
         warmup_steps=args.warmup_steps,
+        sparse_table=args.sparse_table,
+        table_moments_bf16=args.table_moments_bf16,
         resident_gb=args.resident_gb,
         checkpoint_every=args.checkpoint_every,
         max_checkpoints=args.max_checkpoints or None,

@@ -1,0 +1,239 @@
+"""Sparse GloVe-table optimizer (`parallel/sparse_table.py`).
+
+The contract, in order of strength:
+
+1. the remapped forward is numerically identical to the dense forward (the
+   compacted row block + position-remapped ids is a pure re-indexing);
+2. the FIRST update from fresh moments is identical to dense optax Adam —
+   lazy and dense Adam only diverge once an untouched row has momentum in
+   flight (dense decays it, lazy freezes it);
+3. over 20 steps of real training the parameter deviation stays bounded and
+   small relative to how far the parameters moved (the VERDICT r3 #1
+   "tested, bounded trajectory deviation" gate for the opt-in flag);
+4. the machinery composes with the rest of the step: skip-nonfinite guard,
+   packed batches, the obj+rel relation branch, and checkpoint round-trip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structured_alignment_vqa_tpu.data.synthetic import synthetic_batch
+from structured_alignment_vqa_tpu.models import AttModelX3
+from structured_alignment_vqa_tpu.models.config import tiny_test_config
+from structured_alignment_vqa_tpu.parallel.sparse_table import (
+    TABLE_PATH,
+    remap_batch,
+    table_id_fields,
+)
+from structured_alignment_vqa_tpu.parallel.train_step import (
+    adam,
+    create_train_state,
+    make_train_step,
+)
+
+
+def _cfg(**kw):
+    base = dict(share_glove=True, dropout_rate=0.0)
+    base.update(kw)
+    return tiny_test_config(**base)
+
+
+def _table(params):
+    t = params
+    for k in TABLE_PATH:
+        t = t[k]
+    return t
+
+
+def _states_and_steps(cfg, batch, lr=1e-3, warmup=0, **step_kw):
+    model = AttModelX3(cfg)
+    tx = adam(lr, warmup_steps=warmup)
+    dense = create_train_state(model, jax.random.key(0), batch, tx)
+    sparse = create_train_state(
+        model, jax.random.key(0), batch, tx, sparse_table=True
+    )
+    dense_step = make_train_step(model, tx, cfg, **step_kw)
+    sparse_step = make_train_step(
+        model, tx, cfg, sparse_table=True, table_lr=lr,
+        table_warmup_steps=warmup, **step_kw
+    )
+    return dense, sparse, dense_step, sparse_step
+
+
+def test_remap_preserves_lookups():
+    cfg = _cfg(only_obj=False)
+    batch = synthetic_batch(cfg, batch=3, lv=4, lq=5, ls=9, n_rel=4, seed=1)
+    rbatch, uids, valid = remap_batch(batch, cfg)
+    uids = np.asarray(uids)
+    assert np.all(np.diff(uids) >= 0), "uids must stay sorted (fill at max id)"
+    for f in table_id_fields(cfg.only_obj):
+        orig = np.asarray(getattr(batch, f))
+        pos = np.asarray(getattr(rbatch, f))
+        np.testing.assert_array_equal(uids[pos], orig)
+    # valid marks exactly the distinct-id slots (pads at the tail excluded)
+    n_unique = len(set().union(*[
+        set(np.asarray(getattr(batch, f)).ravel().tolist())
+        for f in table_id_fields(cfg.only_obj)
+    ]))
+    expect = np.arange(len(uids)) < n_unique
+    np.testing.assert_array_equal(np.asarray(valid), expect)
+    # and the valid prefix is strictly increasing (true dedup, sorted)
+    assert np.all(np.diff(uids[:n_unique]) > 0)
+
+
+@pytest.mark.parametrize("only_obj", [True, False])
+def test_sparse_forward_matches_dense(only_obj):
+    cfg = _cfg(only_obj=only_obj)
+    batch = synthetic_batch(cfg, batch=3, lv=4, lq=5, ls=9, n_rel=4, seed=2)
+    model = AttModelX3(cfg)
+    params = model.init(jax.random.key(0), batch)["params"]
+    ref = model.apply({"params": params}, batch, deterministic=True)
+
+    rbatch, uids, _ = remap_batch(batch, cfg)
+    model_u = model.clone(cfg=cfg.replace(vocab_size=int(uids.shape[0])))
+    rows = jnp.take(_table(params), uids, axis=0)
+    sub = jax.tree.map(lambda x: x, params)
+    sub["glove"] = dict(sub["glove"])
+    sub["glove"]["table"] = rows
+    got = model_u.apply({"params": sub}, rbatch, deterministic=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_first_step_matches_dense_adam_exactly():
+    cfg = _cfg()
+    batch = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=3)
+    dense, sparse, dense_step, sparse_step = _states_and_steps(cfg, batch)
+    rng = jax.random.key(7)
+    d1, dm = dense_step(dense, batch, rng)
+    s1, sm = sparse_step(sparse, batch, rng)
+    np.testing.assert_allclose(float(dm["loss"]), float(sm["loss"]), rtol=1e-6)
+    # touched rows identical, untouched rows identical (fresh moments: dense
+    # Adam's update is exactly 0 where mu is 0)
+    np.testing.assert_allclose(
+        np.asarray(_table(d1.params)), np.asarray(_table(s1.params)), atol=2e-6
+    )
+    # the non-table parameters flow through the same optax path
+    for key in ("cls_out", "cls_hidden"):
+        np.testing.assert_allclose(
+            np.asarray(d1.params[key]["kernel"]),
+            np.asarray(s1.params[key]["kernel"]), atol=1e-7,
+        )
+
+
+def test_20_step_trajectory_deviation_bounded():
+    cfg = _cfg()
+    model = AttModelX3(cfg)
+    batches = [
+        synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=100 + i)
+        for i in range(20)
+    ]
+    dense, sparse, dense_step, sparse_step = _states_and_steps(
+        cfg, batches[0], lr=1e-3
+    )
+    t0 = np.asarray(_table(dense.params)).copy()
+    rng = jax.random.key(11)
+    for b in batches:
+        dense, _ = dense_step(dense, b, rng)
+        sparse, _ = sparse_step(sparse, b, rng)
+    td = np.asarray(_table(dense.params))
+    ts = np.asarray(_table(sparse.params))
+    moved = np.abs(td - t0).max()
+    dev = np.abs(td - ts).max()
+    assert moved > 1e-3, "training must actually move the table"
+    # lazy-vs-dense Adam deviation: bounded well under the total movement
+    assert dev < 0.2 * moved, (dev, moved)
+    # and the models still agree functionally
+    probe = batches[0]
+    ld = model.apply({"params": dense.params}, probe, deterministic=True)[0]
+    ls_ = model.apply({"params": sparse.params}, probe, deterministic=True)[0]
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ls_), atol=0.05)
+
+
+def test_warmup_schedule_matches():
+    cfg = _cfg()
+    batch = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=5)
+    dense, sparse, dense_step, sparse_step = _states_and_steps(
+        cfg, batch, lr=1e-3, warmup=4
+    )
+    rng = jax.random.key(3)
+    for _ in range(3):
+        dense, _ = dense_step(dense, batch, rng)
+        sparse, _ = sparse_step(sparse, batch, rng)
+    np.testing.assert_allclose(
+        np.asarray(_table(dense.params)), np.asarray(_table(sparse.params)),
+        atol=3e-6,
+    )
+
+
+def test_packed_and_objrel_batches_compile():
+    cfg = _cfg(only_obj=False)
+    batch = synthetic_batch(cfg, batch=3, lv=4, lq=5, ls=9, n_rel=4, seed=6)
+    _, sparse, _, sparse_step = _states_and_steps(cfg, batch)
+    s1, m = sparse_step(sparse, batch, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["skipped"]) == 0.0
+
+
+def test_poisoned_batch_skips_update():
+    cfg = _cfg()
+    batch = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=8)
+    bad = batch.replace(
+        vis_fea=batch.vis_fea.at[0, 0, 0].set(jnp.float32(np.nan))
+    )
+    _, sparse, _, sparse_step = _states_and_steps(cfg, batch)
+    before = np.asarray(_table(sparse.params)).copy()
+    s1, m = sparse_step(sparse, bad, jax.random.key(0))
+    assert float(m["skipped"]) == 1.0
+    np.testing.assert_array_equal(before, np.asarray(_table(s1.params)))
+    # count must not advance on a skipped step (mirrors optax)
+    assert int(s1.opt_state[1].count) == 0
+
+
+def test_bf16_moments_trajectory_close():
+    cfg = _cfg()
+    model = AttModelX3(cfg)
+    tx = adam(1e-3)
+    batch = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=9)
+    f32 = create_train_state(model, jax.random.key(0), batch, tx, sparse_table=True)
+    b16 = create_train_state(
+        model, jax.random.key(0), batch, tx, sparse_table=True,
+        table_moments_dtype=jnp.bfloat16,
+    )
+    assert b16.opt_state[1].mu.dtype == jnp.bfloat16
+    step = make_train_step(model, tx, cfg, sparse_table=True, table_lr=1e-3)
+    rng = jax.random.key(2)
+    for i in range(10):
+        b = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=200 + i)
+        f32, _ = step(f32, b, rng)
+        b16, _ = step(b16, b, rng)
+    tf = np.asarray(_table(f32.params))
+    tb = np.asarray(_table(b16.params))
+    moved = np.abs(tf - np.asarray(_table(
+        create_train_state(model, jax.random.key(0), batch, tx).params))).max()
+    assert np.abs(tf - tb).max() < 0.05 * max(moved, 1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from structured_alignment_vqa_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = _cfg()
+    model = AttModelX3(cfg)
+    tx = adam(1e-3)
+    batch = synthetic_batch(cfg, batch=4, lv=4, lq=5, ls=9, seed=10)
+    state = create_train_state(model, jax.random.key(0), batch, tx, sparse_table=True)
+    step = make_train_step(model, tx, cfg, sparse_table=True, table_lr=1e-3)
+    state, _ = step(state, batch, jax.random.key(0))
+    save_checkpoint(str(tmp_path), state, 1)
+    target = create_train_state(model, jax.random.key(1), batch, tx, sparse_table=True)
+    restored, epoch = restore_checkpoint(str(tmp_path), target)
+    assert epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(_table(state.params)), np.asarray(_table(restored.params))
+    )
+    assert int(restored.opt_state[1].count) == 1
