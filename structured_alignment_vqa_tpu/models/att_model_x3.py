@@ -200,6 +200,10 @@ class _EncoderDecoder(nn.Module):
     pe_table_size: int
     pe_dropout: bool  # the visual branch drops out its PE, the symbolic doesn't
     name_prefix: str = ""
+    # x3 applies ReLU after the 300->2048 question projection
+    # (`AttModel_x3.py:42-43`); the x2_dec fork's syb_mlp is a bare Linear
+    # (`AttModel_x2_dec.py:38`) — variants toggle this off
+    mlp_relu: bool = True
 
     @nn.compact
     def __call__(
@@ -224,8 +228,9 @@ class _EncoderDecoder(nn.Module):
 
         # Question path: GloVe embed -> Linear(300, 2048) + ReLU
         # (`AttModel_x3.py:96-97,216-217`).
-        q_fea = glove(q_ids)
-        q_fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(q_fea))
+        q_fea = nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(glove(q_ids))
+        if self.mlp_relu:
+            q_fea = jax.nn.relu(q_fea)
 
         fea = jnp.concatenate([modality_fea.astype(dt), q_fea], axis=1)
         fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)

@@ -5,14 +5,18 @@ Family map (reference file -> class here; structural knobs in parentheses):
 
 * `AttModel_x.py`            -> :class:`MaxPoolDualEncoder` (stage_style='x')
 * `AttModel_x2.py`           -> :class:`MaxPoolDualEncoder` (stage_style='x2')
-* `AttModel_x2_pre.py`       -> :class:`MaxPoolDualEncoder` (stage_style='x2')
-* `AttModel_x2_distill.py`   -> :class:`MaxPoolDualEncoder` (stage_style='x2')
+* `AttModel_x2_pre.py`       -> :class:`MaxPoolDualEncoder` (stage_style='x2';
+  the fork is byte-identical to AttModel_x2.py)
+* `AttModel_x2_distill.py`   -> :class:`MaxPoolDualEncoder`
+  (stage_style='x2_distill': query-validity diag masks + constant cross)
 * `AttModel.py`, `AttModel_sameMask.py` -> dead legacy (import a module that
   does not exist in the repo, SURVEY.md section 1); covered by stage_style='x'.
 * `AttModel_x4_dec.py`       -> :class:`X4DecModel` (1-token decoder, 1-D masks)
-* `AttModel_x2_dec[_ori].py`, `AttModel_x2_mlp_dec.py`, `AttModel_x2_syb_dec.py`
+* `AttModel_x2_dec.py`, `AttModel_x2_mlp_dec.py`, `AttModel_x2_syb_dec.py`
                              -> :class:`X2DecModel` (ids-input symbolic branch,
                                 visGraph option, single/MCB head)
+* `AttModel_x2_dec_ori.py`   -> :class:`X2DecOriModel` (graph-mask attention,
+                                PE-less 1-token decoder, per-branch q_mlp)
 * `AttModel_x2_fusion_dec.py` -> :class:`X2DecModel` (heads='triple')
 * `AttModel_x2_fusion_dec_relatt.py` -> :class:`X2FusionDecRelatt` (region
   features substituted into the vis-symbolic node graph)
@@ -59,76 +63,106 @@ def _positions(b: int, l: int) -> jax.Array:
 
 
 class _TwoLayerMLP(nn.Module):
-    """Linear -> ReLU -> Linear (the reference's v_mlp / q_mlp shape)."""
+    """Linear -> ReLU -> Linear (the reference's v_mlp / q_mlp shape).
+
+    ``relu=False`` drops the activation: the x2_dec line's syb_mlp is two
+    bare Linears — the fork comments the ReLU out (`AttModel_x2_dec.py:374-376`,
+    `AttModel_x2_syb_dec.py:34-39`)."""
 
     hidden: int
     out: int
     dtype: jnp.dtype = jnp.float32
+    relu: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        if self.relu:
+            x = jax.nn.relu(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
-def _stage_graphs_1d(mod_mask, q_mask, q_graph, mod_graph, style: str):
-    """Stage graphs from 1-D masks, the x/x2 construction.
+def _stage_graphs_1d(mod_mask, q_mask, q_graph, mod_graph, style: str,
+                     visual: bool = True):
+    """Stage graphs from 1-D masks, the x/x2/x2_distill constructions.
 
     mod_mask/q_mask: (B, Lm)/(B, Lq) 0/1; q_graph: (B, Lq, Lq);
     mod_graph: (B, Lm, Lm) or None (visual branch: fully connected).
 
-    x  (`AttModel_x.py:84-91`):   stage1 = None (mask-only), stage2 = zeros
-                                  with [mod_graph|q_graph] diagonal blocks.
-    x2 (`AttModel_x2.py:94-117`): graph_diag = [mod FC | q_mask rows],
-                                  graph_cross = off-diagonal blocks,
-                                  graph = ones with q_graph (and mod_graph) set.
+    x  (`AttModel_x.py:84-91`): stage1 = None (mask-only), stage2 = zeros
+       with [mod_graph|q_graph] diagonal blocks.
+
+    x2 (`AttModel_x2.py:94-117,212-238`) masks diagonal/cross blocks by KEY
+       validity (``mask.unsqueeze(1)`` — every row carries the key mask);
+       x2_distill (`AttModel_x2_distill.py:75-83,159-173`) masks the diagonal
+       blocks by QUERY validity (``unsqueeze(2)``) and uses constant-1 cross
+       blocks. The visual branch's own mask is all-ones in both (grid
+       features), so its diag mod block is the constant the reference writes.
+       Both: graph = ones with mod_graph (symbolic only) and q_graph set.
     """
     b, lm = mod_mask.shape
     lq = q_mask.shape[1]
     size = lm + lq
     f32 = jnp.float32
-    qm_rows = q_mask.astype(f32)[:, None, :]          # broadcast as rows
-    mm_rows = mod_mask.astype(f32)[:, None, :]
-
-    graph = jnp.zeros((b, size, size), f32)
-    if mod_graph is None:
-        graph_mod_block = jnp.ones((b, lm, lm), f32)
-    else:
-        graph_mod_block = mod_graph.astype(f32)
+    qm = q_mask.astype(f32)
+    mm = mod_mask.astype(f32)
 
     if style == "x":
-        final = graph.at[:, :lm, :lm].set(0.0 if mod_graph is None else graph_mod_block)
-        # the x visual branch leaves the modality block zero (`AttModel_x.py:87-88`)
+        graph = jnp.zeros((b, size, size), f32)
+        final = graph
         if mod_graph is not None:
-            final = graph.at[:, :lm, :lm].set(graph_mod_block)
+            final = final.at[:, :lm, :lm].set(mod_graph.astype(f32))
         final = final.at[:, lm:, lm:].set(q_graph.astype(f32))
         return [None, final]
 
-    # x2: three stages
+    if style == "x2":
+        # key-validity masks: block[:, i, j] = mask[j]
+        q_blk = jnp.broadcast_to(qm[:, None, :], (b, lq, lq))
+        m_blk = (jnp.ones((b, lm, lm), f32) if visual
+                 else jnp.broadcast_to(mm[:, None, :], (b, lm, lm)))
+        cross_mq = jnp.broadcast_to(qm[:, None, :], (b, lm, lq))
+        cross_qm = (jnp.ones((b, lq, lm), f32) if visual
+                    else jnp.broadcast_to(mm[:, None, :], (b, lq, lm)))
+    else:  # x2_distill: query-validity diag, constant-1 cross
+        q_blk = jnp.broadcast_to(qm[:, :, None], (b, lq, lq))
+        m_blk = (jnp.ones((b, lm, lm), f32) if visual
+                 else jnp.broadcast_to(mm[:, :, None], (b, lm, lm)))
+        cross_mq = jnp.ones((b, lm, lq), f32)
+        cross_qm = jnp.ones((b, lq, lm), f32)
+
     graph_diag = jnp.zeros((b, size, size), f32)
-    graph_diag = graph_diag.at[:, :lm, :lm].set(
-        1.0 if mod_graph is None else graph_mod_block
-    )
-    graph_diag = graph_diag.at[:, lm:, lm:].set(
-        jnp.broadcast_to(qm_rows, (b, lq, lq))
-    )
+    graph_diag = graph_diag.at[:, :lm, :lm].set(m_blk)
+    graph_diag = graph_diag.at[:, lm:, lm:].set(q_blk)
     graph_cross = jnp.zeros((b, size, size), f32)
-    graph_cross = graph_cross.at[:, :lm, lm:].set(jnp.broadcast_to(qm_rows, (b, lm, lq)))
-    graph_cross = graph_cross.at[:, lm:, :lm].set(1.0)
+    graph_cross = graph_cross.at[:, :lm, lm:].set(cross_mq)
+    graph_cross = graph_cross.at[:, lm:, :lm].set(cross_qm)
     graph_full = jnp.ones((b, size, size), f32)
     if mod_graph is not None:
-        graph_full = graph_full.at[:, :lm, :lm].set(graph_mod_block)
+        graph_full = graph_full.at[:, :lm, :lm].set(mod_graph.astype(f32))
     graph_full = graph_full.at[:, lm:, lm:].set(q_graph.astype(f32))
     return [graph_diag, graph_cross, graph_full]
 
 
 class _MaxPoolBranch(nn.Module):
-    """One encoder branch of the x/x2 family: modality ++ question tokens,
-    mask-only then graph-staged blocks, masked max-pool
-    (`AttModel_x.py:62-95,143-179`; `AttModel_x2.py:73-131`)."""
+    """One encoder branch of the x/x2/x2_distill family: modality ++ question
+    tokens, graph-staged blocks, max-pool (`AttModel_x.py:62-95,143-179`;
+    `AttModel_x2.py:73-131,190-255`; `AttModel_x2_distill.py:54-101,137-186`).
+
+    Two reference quirks are preserved exactly:
+
+    * the SYMBOLIC branch's final (full-graph) stage re-runs blocks
+      ``0 .. num_blocks//2`` instead of advancing to blocks 4.. — blocks 4/5
+      exist but are never called (`AttModel_x2.py:238-240`,
+      `AttModel_x2_distill.py:180-182`); the visual branch advances normally
+      (`AttModel_x2.py:115-117`);
+    * x2's symbolic branch max-pools the UNMASKED features — its
+      ``fea = fea_graph * mask`` line is dead, ``torch.max`` reads
+      ``fea_graph`` (`AttModel_x2.py:242-255`); the visual branch and both
+      x2_distill branches pool the masked features.
+    """
 
     cfg: ModelConfig
-    stage_style: str  # 'x' | 'x2'
+    stage_style: str  # 'x' | 'x2' | 'x2_distill'
     is_visual: bool
     pe_size: int
 
@@ -155,24 +189,41 @@ class _MaxPoolBranch(nn.Module):
             [mod_mask.astype(jnp.float32), q_mask.astype(jnp.float32)], axis=1
         )
 
-        stages = _stage_graphs_1d(mod_mask, q_mask, q_graph, mod_graph, self.stage_style)
+        stages = _stage_graphs_1d(
+            mod_mask, q_mask, q_graph, mod_graph, self.stage_style,
+            visual=self.is_visual,
+        )
         n = cfg.num_blocks
         if self.stage_style == "x":
-            plan = [stages[0]] * (n // 2) + [stages[1]] * (n - n // 2)
+            plan = list(enumerate([stages[0]] * (n // 2) + [stages[1]] * (n - n // 2)))
         else:
             s1, s2 = cfg.stage1_blocks, cfg.stage2_blocks
-            plan = [stages[0]] * s1 + [stages[1]] * (s2 - s1) + [stages[2]] * (n - s2)
+            plan = ([(i, stages[0]) for i in range(s1)]
+                    + [(i, stages[1]) for i in range(s1, s2)])
+            if self.is_visual:
+                plan += [(i, stages[2]) for i in range(s2, n)]
+            else:  # symbolic final stage reuses the early blocks (see above)
+                plan += [(i, stages[2]) for i in range(n // 2)]
 
-        for i, g in enumerate(plan):
-            fea = GraphMaskAttention(
+        # instantiate per index; blocks outside the plan (symbolic 4/5) never
+        # run — the reference constructs their torch params but never calls
+        # them, so they are output-irrelevant and own no params here
+        blocks = [
+            (GraphMaskAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads,
-                dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}",
-            )(fea, fea, fea, g, deterministic=deterministic)
-            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
-                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+                dropout_rate=0.0, dtype=dt, name=f"enc_self_attention_{i}"),
+             FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                         dtype=dt, name=f"enc_feed_forward_{i}"))
+            for i in range(n)
+        ]
+        for i, g in plan:
+            att, ffn = blocks[i]
+            fea = att(fea, fea, fea, g, deterministic=deterministic)
+            fea = ffn(fea)
 
-        fea = fea * mask_1d[..., None].astype(fea.dtype)
-        return jnp.max(fea, axis=1)  # (B, h)
+        masked = fea * mask_1d[..., None].astype(fea.dtype)
+        pool_src = fea if (self.stage_style == "x2" and not self.is_visual) else masked
+        return jnp.max(pool_src, axis=1)  # (B, h)
 
 
 class MaxPoolDualEncoder(nn.Module):
@@ -223,6 +274,9 @@ class X2DecModel(nn.Module):
 
     cfg: ModelConfig
     heads: str = "single"  # 'single' | 'triple'
+    # x2_dec / x2_syb_dec drop the ReLU inside both branches' syb_mlp
+    # (`AttModel_x2_dec.py:38,374-376`); x3_ori / x2_fusion_dec keep it
+    mlp_relu: bool = True
 
     @nn.compact
     def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, syb_ipt,
@@ -238,6 +292,7 @@ class X2DecModel(nn.Module):
                                          name="vis_syb_emb")
         fea_vis = _EncoderDecoder(
             cfg, pe_table_size=cfg.maxlen, pe_dropout=True, name="att_vis_grid",
+            mlp_relu=self.mlp_relu,
         )(vis_fea, vis_mask, vis_graph, q_ipt, q_graph, q_mask, vis_glove,
           deterministic)
 
@@ -247,7 +302,8 @@ class X2DecModel(nn.Module):
         b, ls = syb_ipt.shape
         lq = q_ipt.shape[1]
         joint = jnp.concatenate([syb_ipt, q_ipt], axis=1)
-        fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+        fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt,
+                           relu=self.mlp_relu, name="syb_mlp")(
             syb_glove(joint)
         )
         fea = fea + Embedding(
@@ -309,9 +365,136 @@ class X2DecModel(nn.Module):
         return head("cls", fused)
 
 
+class _X2DecOriBranch(nn.Module):
+    """One x2_dec_ori branch: x2-style staged GraphMaskAttention encoder (no
+    block reuse) + a PE-less 1-token decoder of graph-mask cross-attention
+    blocks — no decoder self-attention, BOS index 1
+    (`AttModel_x2_dec_ori.py:80-132,186-244`).
+
+    Quirks preserved: the cross stage's q->modality block is constant 1 in the
+    VISUAL branch but mask-rows in the symbolic one (`:105-108` vs `:226`);
+    the symbolic branch's post-encoder mask multiply is dead — its decoder
+    attends the UNMASKED ``fea_graph`` (`:234-243`), while the visual branch
+    reassigns and attends the masked one (`:121-130`).
+    """
+
+    cfg: ModelConfig
+    is_visual: bool
+    pe_size: int
+
+    @nn.compact
+    def __call__(self, mod_fea, mod_mask, mod_graph, q_fea, q_graph, q_mask,
+                 deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, lm = mod_fea.shape[:2]
+        lq = q_fea.shape[1]
+
+        q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="q_mlp")(q_fea)
+        q = q + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="q_positional_encoding")(_positions(b, lq)))
+        m = mod_fea.astype(dt)
+        m = m + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+            Embedding(self.pe_size, cfg.hidden_size, zeros_pad=False, scale=False,
+                      dtype=dt, name="positional_encoding")(_positions(b, lm)))
+        fea = jnp.concatenate([m, q], axis=1)
+        mask_1d = jnp.concatenate(
+            [mod_mask.astype(jnp.float32), q_mask.astype(jnp.float32)], axis=1)
+
+        f32 = jnp.float32
+        size = lm + lq
+        mm = mod_mask.astype(f32)
+        qm = q_mask.astype(f32)
+        graph_diag = jnp.zeros((b, size, size), f32)
+        graph_diag = graph_diag.at[:, :lm, :lm].set(
+            jnp.broadcast_to(mm[:, None, :], (b, lm, lm)))
+        graph_diag = graph_diag.at[:, lm:, lm:].set(
+            jnp.broadcast_to(qm[:, None, :], (b, lq, lq)))
+        graph_cross = jnp.zeros((b, size, size), f32)
+        graph_cross = graph_cross.at[:, :lm, lm:].set(
+            jnp.broadcast_to(qm[:, None, :], (b, lm, lq)))
+        graph_cross = graph_cross.at[:, lm:, :lm].set(
+            jnp.ones((b, lq, lm), f32) if self.is_visual
+            else jnp.broadcast_to(mm[:, None, :], (b, lq, lm)))
+        graph_full = jnp.ones((b, size, size), f32)
+        if mod_graph is not None:
+            graph_full = graph_full.at[:, :lm, :lm].set(mod_graph.astype(f32))
+        graph_full = graph_full.at[:, lm:, lm:].set(q_graph.astype(f32))
+
+        s1, s2 = cfg.stage1_blocks, cfg.stage2_blocks
+        for i in range(cfg.num_blocks):
+            g = graph_diag if i < s1 else (graph_cross if i < s2 else graph_full)
+            fea = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"enc_self_attention_{i}",
+            )(fea, fea, fea, g, deterministic=deterministic)
+            fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"enc_feed_forward_{i}")(fea)
+
+        if self.is_visual:
+            fea = fea * mask_1d[..., None].astype(fea.dtype)
+        # decoder: BOS index 1 of a 2-row table, no PE, no self-attention
+        dec = Embedding(2, cfg.hidden_size, zeros_pad=True, scale=True, dtype=dt,
+                        name="dec_emb")(jnp.ones((b, 1), jnp.int32))
+        for i in range(cfg.num_blocks):
+            dec = GraphMaskAttention(
+                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                name=f"dec_vanilla_attention_{i}",
+            )(dec, fea, fea, None, deterministic=deterministic)
+            dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
+                              dtype=dt, name=f"dec_feed_forward_{i}")(dec)
+        return dec[:, 0]
+
+
+class X2DecOriModel(nn.Module):
+    """x2_dec_ori top: two decoder branches, concat, one classifier head
+    (`AttModel_x2_dec_ori.py:246-277`). Distinct from the x2_dec line the
+    registry previously collapsed it into: graph-MASK (sum+1e-7) attention
+    everywhere, per-branch q_mlp on a shared q_emb, and the PE-less 1-token
+    decoder."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask_1d, q_ipt, q_mask_1d, q_graph,
+                 syb_ipt, syb_mask_1d, syb_graph, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+
+        def as_1d(mask):  # accept the dec-family square-mask batch format too
+            return (jnp.sum(mask, 2) > 0).astype(jnp.float32) if mask.ndim == 3 else mask
+
+        vis_mask_1d, q_mask_1d, syb_mask_1d = map(
+            as_1d, (vis_mask_1d, q_mask_1d, syb_mask_1d))
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
+        q_fea = glove(q_ipt)
+
+        vis_proj = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="v_mlp")(
+            vis_fea.astype(dt))
+        fea_vis = _X2DecOriBranch(cfg, True, pe_size=cfg.maxlen_v, name="att_vis_grid")(
+            vis_proj, vis_mask_1d, None, q_fea, q_graph, q_mask_1d, deterministic)
+
+        syb_emb = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        syb_fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
+            syb_emb(syb_ipt))
+        fea_syb = _X2DecOriBranch(cfg, False, pe_size=cfg.maxlen, name="att_syb")(
+            syb_fea, syb_mask_1d, syb_graph, q_fea, q_graph, q_mask_1d, deterministic)
+
+        fea = jnp.concatenate([fea_syb, fea_vis], axis=1)
+        h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(fea))
+        h = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h)
+
+
 class X4DecModel(nn.Module):
-    """x4_dec: x2-style 1-D-mask staging + 1-token cross-attention decoder,
-    single head (`AttModel_x4_dec.py:200-265`)."""
+    """x4_dec: "from v2_dec, just change the diag" — the x2_dec_ori
+    architecture with stage 1 running MASK-ONLY (graph=None) instead of
+    diagonal-block masks (`AttModel_x4_dec.py:95-103,203-206`). Same PE-less
+    1-token decoder (2-row BOS table), same asymmetric quirk: the visual
+    branch's decoder attends the masked encoder output, the symbolic one the
+    unmasked (`:118-128` vs `:225-233`). Cross-stage q->modality blocks carry
+    the modality key mask in BOTH branches (`:101-104,207-210`)."""
 
     cfg: ModelConfig
 
@@ -323,17 +506,24 @@ class X4DecModel(nn.Module):
         glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="q_emb")
         q_fea = glove(q_ipt)
 
-        def branch(name, mod_fea, mod_mask, mod_graph, pe_size):
+        def branch(name, mod_fea, mod_mask, mod_graph, pe_size, mask_decoder_src):
             b, lm = mod_fea.shape[:2]
             lq = q_fea.shape[1]
             q = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name=f"{name}_q_mlp")(q_fea)
-            m = mod_fea.astype(dt) + Embedding(
-                pe_size, cfg.hidden_size, zeros_pad=False, scale=False, dtype=dt,
-                name=f"{name}_positional_encoding")(_positions(b, lm))
+            q = q + nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(
+                Embedding(cfg.maxlen_q, cfg.hidden_size, zeros_pad=False, scale=False,
+                          dtype=dt, name=f"{name}_q_positional_encoding")(_positions(b, lq)))
+            m = mod_fea.astype(dt) + nn.Dropout(
+                cfg.dropout_rate, deterministic=deterministic)(
+                Embedding(pe_size, cfg.hidden_size, zeros_pad=False, scale=False,
+                          dtype=dt, name=f"{name}_positional_encoding")(_positions(b, lm)))
             fea = jnp.concatenate([m, q], axis=1)
             mask_1d = jnp.concatenate(
                 [mod_mask.astype(jnp.float32), q_mask_1d.astype(jnp.float32)], axis=1)
-            stages = _stage_graphs_1d(mod_mask, q_mask_1d, q_graph, mod_graph, "x2")
+            # visual=False: the cross q->mod block carries the modality key
+            # mask in x4's visual branch too (`AttModel_x4_dec.py:104`)
+            stages = _stage_graphs_1d(mod_mask, q_mask_1d, q_graph, mod_graph,
+                                      "x2", visual=False)
             plan = ([None] * cfg.stage1_blocks
                     + [stages[1]] * (cfg.stage2_blocks - cfg.stage1_blocks)
                     + [stages[2]] * (cfg.num_blocks - cfg.stage2_blocks))
@@ -344,7 +534,10 @@ class X4DecModel(nn.Module):
                 )(fea, fea, fea, g, deterministic=deterministic)
                 fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                                   dtype=dt, name=f"{name}_enc_feed_forward_{i}")(fea)
-            dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
+            if mask_decoder_src:
+                fea = fea * mask_1d[..., None].astype(fea.dtype)
+            # BOS index 1 of a 2-row table, no decoder PE (`:57,121-128`)
+            dec = Embedding(2, cfg.hidden_size, scale=True, dtype=dt,
                             name=f"{name}_dec_emb")(jnp.ones((b, 1), jnp.int32))
             for i in range(cfg.num_blocks):
                 dec = GraphMaskAttention(
@@ -358,12 +551,12 @@ class X4DecModel(nn.Module):
         b, lv = vis_fea.shape[:2]
         vis_proj = _TwoLayerMLP(cfg.hidden_size, cfg.hidden_size, dt, name="v_mlp")(
             vis_fea.astype(dt))
-        fea_vis = branch("vis", vis_proj, vis_mask_1d, None, cfg.maxlen_v)
+        fea_vis = branch("vis", vis_proj, vis_mask_1d, None, cfg.maxlen_v, True)
 
         syb_emb = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
         syb_fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
             syb_emb(syb_ipt))
-        fea_syb = branch("syb", syb_fea, syb_mask_1d, syb_graph, cfg.maxlen)
+        fea_syb = branch("syb", syb_fea, syb_mask_1d, syb_graph, cfg.maxlen, False)
 
         fea = jnp.concatenate([fea_syb, fea_vis], axis=1)
         h = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name="cls_hidden")(fea))
@@ -942,12 +1135,18 @@ class X2FusionDecRelatt(nn.Module):
 VARIANTS = {
     "x": (MaxPoolDualEncoder, {"stage_style": "x"}),
     "x2": (MaxPoolDualEncoder, {"stage_style": "x2"}),
-    "x2_pre": (MaxPoolDualEncoder, {"stage_style": "x2"}),
-    "x2_distill": (MaxPoolDualEncoder, {"stage_style": "x2"}),
-    "x2_dec": (X2DecModel, {"heads": "single"}),
-    "x2_dec_ori": (X2DecModel, {"heads": "single"}),
+    "x2_pre": (MaxPoolDualEncoder, {"stage_style": "x2"}),  # byte-identical fork
+    # distill: query-validity diag masks, constant-1 cross stage, masked
+    # symbolic max-pool (`AttModel_x2_distill.py:75-83,159-186`)
+    "x2_distill": (MaxPoolDualEncoder, {"stage_style": "x2_distill"}),
+    # x2_dec / x2_syb_dec: bare-Linear syb_mlp (the fork comments out the
+    # ReLU, `AttModel_x2_dec.py:38,374`); parity-tested vs the live fork
+    "x2_dec": (X2DecModel, {"heads": "single", "mlp_relu": False}),
+    # ori is NOT an x2_dec twin: graph-mask (sum+1e-7) attention with live
+    # dropout, PE-less self-attention-free decoder (`AttModel_x2_dec_ori.py`)
+    "x2_dec_ori": (X2DecOriModel, {}),
     "x2_mlp_dec": (X2DecModel, {"heads": "single"}),
-    "x2_syb_dec": (X2DecModel, {"heads": "single"}),
+    "x2_syb_dec": (X2DecModel, {"heads": "single", "mlp_relu": False}),
     "x2_fusion_dec": (X2DecModel, {"heads": "triple"}),
     "x2_fusion_dec_relatt": (X2FusionDecRelatt, {}),
     "x2_fusion_dec_mil": (X2FusionDecMil, {}),
