@@ -41,7 +41,10 @@ def main():
     p.add_argument("--out", default="/tmp/learnprobe_run")
     p.add_argument("--epochs", type=int, default=0, help="0 = preset default")
     p.add_argument("--skip_gen", action="store_true")
-    args = p.parse_args()
+    # anything after "--" is appended to the trainer CLI verbatim, e.g.
+    # `-- --n_pack 4 --pack_bucket 1` for the packed production run
+    # (VERDICT r3 #4) or `-- --sparse_table` for the sparse-optimizer run
+    args, extra = p.parse_known_args()
 
     from structured_alignment_vqa_tpu.data.fixtures import write_fixture
 
@@ -111,9 +114,12 @@ def main():
     print(f"answer prior: train {answer_prior(args.root, 'train'):.4f} "
           f"val {answer_prior(args.root, 'val'):.4f}", flush=True)
 
+    extra = [a for a in extra if a != "--"]
+    if extra:
+        print(f"extra trainer flags: {extra}", flush=True)
     sys.argv = ["main", "--data_dir_azure", args.root, "--output_dir", args.out,
                 "--model_v", "3", "--only_obj", "--with_loc", "--decMask",
-                "--with_MILNCE_loss", "--pred_rel"] + train_flags
+                "--with_MILNCE_loss", "--pred_rel"] + train_flags + extra
     from structured_alignment_vqa_tpu.train import main as train_main
     train_main.main()
 

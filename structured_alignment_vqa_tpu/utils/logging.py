@@ -33,17 +33,53 @@ def setup_logging(output_dir: str, process_index: int = 0) -> logging.Logger:
     return logger
 
 
+def _load_metric_hook():
+    """External experiment-tracker hook (the Azure ``Run.log`` slot).
+
+    ``SAVQA_METRIC_HOOK=package.module:function`` names a callable taking
+    ``(name: str, value: float, step: int | None)``; every MetricLogger.log
+    on process 0 forwards to it — wandb/mlflow/Azure adapters are a
+    three-line user module away, no framework change needed. Mirrors the
+    reference's Azure ML streaming (`main_itp_ddp_tar_super_node.py:147,
+    372-373,422-423`). Import errors raise at startup (a silently-dead
+    tracker is worse than a crash); hook exceptions at log time are
+    swallowed after a one-time warning, so a flaky tracker cannot kill a
+    training run the way a dropped Azure connection could.
+    """
+    spec = os.environ.get("SAVQA_METRIC_HOOK")
+    if not spec:
+        return None
+    import importlib
+
+    mod_name, _, fn_name = spec.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name or "log_metric")
+
+
 class MetricLogger:
-    """Metric stream -> JSONL file (replacement for Azure ``Run.log``,
-    `main:372-373,422-423`)."""
+    """Metric stream -> JSONL file + optional external tracker hook
+    (replacement for Azure ``Run.log``, `main:372-373,422-423`)."""
 
     def __init__(self, output_dir: Optional[str], process_index: int = 0):
         self._path = None
-        if process_index == 0 and output_dir:
-            os.makedirs(output_dir, exist_ok=True)
-            self._path = os.path.join(output_dir, "metrics.jsonl")
+        self._hook = None
+        self._hook_warned = False
+        if process_index == 0:
+            self._hook = _load_metric_hook()
+            if output_dir:
+                os.makedirs(output_dir, exist_ok=True)
+                self._path = os.path.join(output_dir, "metrics.jsonl")
 
     def log(self, name: str, value: float, step: Optional[int] = None):
+        if self._hook is not None:
+            try:
+                self._hook(name, float(value), step)
+            except Exception:  # noqa: BLE001 — tracker failures must not kill training
+                if not self._hook_warned:
+                    logging.getLogger("savqa").warning(
+                        "metric hook raised; further hook errors suppressed",
+                        exc_info=True,
+                    )
+                    self._hook_warned = True
         if self._path is None:
             return
         rec = {"time": datetime.datetime.now().isoformat(), "name": name, "value": float(value)}
