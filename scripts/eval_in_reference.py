@@ -52,6 +52,24 @@ PROD_FLAGS = [
     "--platform", "cpu",
 ]
 
+# The obj+rel interop config (VERDICT r3 #5b): only_obj=False so the relation
+# MIL branch — and therefore the export map's R / relation rows — is
+# exercised by the reference too. Matches scripts/train_objrel_small.sh-style
+# CPU runs (small scale; the point is the export map, not accuracy).
+OBJREL_SMALL_FLAGS = [
+    "--model_v", "3", "--with_loc", "--decMask", "--with_MILNCE_loss",
+    "--batch_size", "32", "--maxlen", "128", "--maxlen_q", "12",
+    "--maxlen_v", "12", "--hidden_size", "64", "--hidden_size_mil", "32",
+    "--num_blocks", "3", "--num_heads", "2",
+    "--min_cnt", "50", "--topN", "2", "--bbox_bin_num", "16",
+    # the reference hardcodes the 407k x 300 table (`AttModel_x3.py:36,41`),
+    # so the interop run must too — the sparse-table path keeps the CPU
+    # training step cheap despite it
+    "--vocab_size", "407000", "--glove_dim", "300",
+    "--share_glove", "--dropout_rate", "0.2", "--num_workers", "2",
+    "--platform", "cpu",
+]
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -60,7 +78,12 @@ def main():
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--batches", type=int, default=4)
     p.add_argument("--split", default="val")
+    p.add_argument("--config", choices=["prod", "objrel_small"], default="prod",
+                   help="flag preset; objrel_small exercises the relation "
+                        "branch's export map (only_obj=False)")
     args = p.parse_args()
+    flags = PROD_FLAGS if args.config == "prod" else OBJREL_SMALL_FLAGS
+    only_obj = "--only_obj" in flags
 
     import jax
 
@@ -79,7 +102,7 @@ def main():
     from structured_alignment_vqa_tpu.utils.checkpoint import load_params_for_eval
 
     cli = build_parser().parse_args(
-        PROD_FLAGS + ["--data_dir_azure", args.root, "--output_dir", "/tmp/eval_in_ref"]
+        flags + ["--data_dir_azure", args.root, "--output_dir", "/tmp/eval_in_ref"]
     )
     model_cfg, train_dc, val_dc, trainer_cfg = configs_from_args(cli)
     dc = val_dc if args.split == "val" else train_dc
@@ -112,11 +135,12 @@ def main():
             glove, model_cfg.hidden_size, model_cfg.hidden_size_mil,
             model_cfg.num_classes, model_cfg.maxlen_q, model_cfg.maxlen,
             model_cfg.maxlen_v, model_cfg.num_blocks, model_cfg.num_heads,
-            model_cfg.dropout_rate, 0.1, max(model_cfg.num_relations, 1), True,
+            model_cfg.dropout_rate, 0.1, max(model_cfg.num_relations, 1),
+            only_obj,
         )
     variables = {"params": jax.device_get(state.params)}
     sd = export_state_dict(
-        variables, model_cfg.num_blocks, only_obj=True, use_mcb=False,
+        variables, model_cfg.num_blocks, only_obj=only_obj, use_mcb=False,
         template=ref.state_dict(), ddp_prefix=True,
     )
     # the consumer's own loading convention: strip `module.`, strict load

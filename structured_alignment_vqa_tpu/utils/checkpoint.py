@@ -82,6 +82,28 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState, epoch: Optional[int] = 
 
 def load_params_for_eval(ckpt_dir: str, state: TrainState, epoch: Optional[int] = None) -> TrainState:
     """Eval-driver loader (the reference strips DDP's 'module.' prefix,
-    `eval_itp_grid_ddp_tar_gt.py:107-116`; orbax trees need no such surgery)."""
-    restored, _ = restore_checkpoint(ckpt_dir, state, epoch)
-    return restored
+    `eval_itp_grid_ddp_tar_gt.py:107-116`; orbax trees need no such surgery).
+
+    Restores ONLY params/constants/step: eval never reads optimizer state,
+    and its on-disk structure depends on how the run was trained (plain
+    optax tree vs the sparse-table pair) — a dense-state eval template must
+    still load a ``--sparse_table`` run's checkpoint, and vice versa."""
+    mgr = _manager(ckpt_dir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+        if epoch is None:
+            mgr.close()
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    # restore with the ON-DISK structure (no template), then keep only the
+    # eval-relevant subtrees — params/constants trees are plain dicts either
+    # way, so no structure match against the training-time opt_state needed
+    restored = mgr.restore(epoch)
+    mgr.close()
+    import jax.numpy as jnp
+
+    as_arrays = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return state.replace(
+        params=as_arrays(restored["params"]),
+        constants=as_arrays(restored["constants"]),
+        step=jnp.asarray(restored["step"]),
+    )
