@@ -4,7 +4,7 @@ The reference's second production config (`submit.py:87`: obj+rel, maxlen
 1600, per-device batch 4) had a measured TRAIN step (48.9 ms, flash fwd+bwd)
 but no serving pairs/s anywhere — the long-sequence regime was untracked
 round-over-round. This prints one JSON line (same shape as bench.py) and
-writes ``BENCH_OBJREL_r04.json`` at the repo root so the regime has a pinned
+writes ``BENCH_OBJREL_r05.json`` at the repo root so the regime has a pinned
 number next to the obj-only 10k.
 
 Operating point: B=4 (the reference's own obj+rel batch), symbolic encoder
@@ -86,7 +86,7 @@ def main():
         "b8": measure(8),
     }
     out["value"] = out["b4"]["pairs_per_sec"]
-    with open("BENCH_OBJREL_r04.json", "w") as f:
+    with open("BENCH_OBJREL_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -1,0 +1,28 @@
+#!/bin/bash
+# The packed + sparse production learning matrix (VERDICT r4 #3, r3 #4).
+#
+# Three 40-epoch runs of the production recipe (scripts/learn_probe.py
+# --preset prod, the round-3 "run that learns" configuration) on the
+# attached chip, sharing one fixture:
+#   dense   — unpacked, dense Adam over the 407k GloVe table (r3 baseline)
+#   sparse  — unpacked, sparse/segmented table optimizer + bf16 moments
+#   packed  — n_pack 4 packing x sparse table (submit.py:76-87 length mix)
+# Logs land in /tmp/prodmatrix/<name>.log; steps/s and val accuracy are
+# post-processed from each run's metrics.jsonl by scripts/prod_matrix_report.py.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+ROOT=/tmp/prodmatrix
+mkdir -p $ROOT
+GEN=""
+for spec in "dense:" "sparse:--sparse_table --table_moments_bf16" \
+            "packed:--n_pack 4 --pack_bucket 1 --sparse_table --table_moments_bf16"; do
+  name=${spec%%:*}; extra=${spec#*:}
+  echo "=== $name (extra: $extra) $(date -u +%H:%M:%S) ==="
+  timeout 4500 python scripts/learn_probe.py --preset prod \
+    --root $ROOT/data --out $ROOT/run_$name $GEN -- $extra \
+    > $ROOT/$name.log 2>&1
+  echo "exit=$? $(date -u +%H:%M:%S)"
+  GEN="--skip_gen"
+done
+echo "ALL DONE $(date -u +%H:%M:%S)"
