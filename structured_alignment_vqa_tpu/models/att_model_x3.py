@@ -204,6 +204,12 @@ class _EncoderDecoder(nn.Module):
     # (`AttModel_x3.py:42-43`); the x2_dec fork's syb_mlp is a bare Linear
     # (`AttModel_x2_dec.py:38`) — variants toggle this off
     mlp_relu: bool = True
+    # Decoder cross-attention flavor: 'graph' = graph-guided with the
+    # dec_mask row (`AttModel_x3.py:150-156`); 'vanilla' = plain
+    # content-masked multihead attention with NO mask argument — the
+    # x2_mlp_dec fork swaps the module class and drops dec_mask
+    # (`AttModel_x2_mlp_dec.py:227-231,324`)
+    dec_cross: str = "graph"
 
     @nn.compact
     def __call__(
@@ -307,10 +313,17 @@ class _EncoderDecoder(nn.Module):
                 dec.reshape(b * n_pack, 1, h),
                 deterministic=deterministic,
             ).reshape(b, n_pack, h)
-            dec = GraphGuidedAttention(
-                num_units=cfg.hidden_size, num_heads=cfg.num_heads,
-                dropout_rate=0.0, dtype=dt, name=f"dec_vanilla_attention_{i}",
-            )(dec, fea, fea, dec_mask, deterministic=deterministic)
+            if self.dec_cross == "vanilla":
+                assert n_pack == 1, "vanilla decoder cross-attn has no pack mask"
+                dec = MultiHeadAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                    dropout_rate=0.0, dtype=dt, name=f"dec_vanilla_attention_{i}",
+                )(dec, fea, fea, deterministic=deterministic)
+            else:
+                dec = GraphGuidedAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads,
+                    dropout_rate=0.0, dtype=dt, name=f"dec_vanilla_attention_{i}",
+                )(dec, fea, fea, dec_mask, deterministic=deterministic)
             dec = FeedForward(
                 cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                 dtype=dt, name=f"dec_feed_forward_{i}",

@@ -12,12 +12,15 @@ Family map (reference file -> class here; structural knobs in parentheses):
 * `AttModel.py`, `AttModel_sameMask.py` -> dead legacy (import a module that
   does not exist in the repo, SURVEY.md section 1); covered by stage_style='x'.
 * `AttModel_x4_dec.py`       -> :class:`X4DecModel` (1-token decoder, 1-D masks)
-* `AttModel_x2_dec.py`, `AttModel_x2_mlp_dec.py`, `AttModel_x2_syb_dec.py`
-                             -> :class:`X2DecModel` (ids-input symbolic branch,
-                                visGraph option, single/MCB head)
+* `AttModel_x2_dec.py`       -> :class:`X2DecModel` (heads='single',
+                                mlp_relu=False; visGraph option)
+* `AttModel_x2_mlp_dec.py`   -> :class:`X2DecModel` (heads='single',
+                                vis_v_mlp=True, dec_cross='vanilla')
+* `AttModel_x2_syb_dec.py`, `AttModel_x2_fusion_dec.py` (byte-identical forks)
+                             -> :class:`X2DecModel` (heads='triple',
+                                mlp_relu=False)
 * `AttModel_x2_dec_ori.py`   -> :class:`X2DecOriModel` (graph-mask attention,
                                 PE-less 1-token decoder, per-branch q_mlp)
-* `AttModel_x2_fusion_dec.py` -> :class:`X2DecModel` (heads='triple')
 * `AttModel_x2_fusion_dec_relatt.py` -> :class:`X2FusionDecRelatt` (region
   features substituted into the vis-symbolic node graph)
 * `AttModel_x2_fusion_dec_mil.py`  -> :class:`X2FusionDecMil`
@@ -274,9 +277,18 @@ class X2DecModel(nn.Module):
 
     cfg: ModelConfig
     heads: str = "single"  # 'single' | 'triple'
-    # x2_dec / x2_syb_dec drop the ReLU inside both branches' syb_mlp
-    # (`AttModel_x2_dec.py:38,374-376`); x3_ori / x2_fusion_dec keep it
+    # The whole x2_dec/x2_syb_dec/x2_fusion_dec line uses a BARE Linear
+    # syb_mlp in both branches (`AttModel_x2_dec.py:38,199-201`,
+    # `AttModel_x2_fusion_dec.py:38,196-198` — the ReLU'd Sequential is
+    # commented out in every one of those forks); only x2_mlp_dec re-enables
+    # the ReLU via its syb_mlp_sequence (`AttModel_x2_mlp_dec.py:35-38,272`)
     mlp_relu: bool = True
+    # x2_mlp_dec only: live v_mlp Linear(2048,2048)+ReLU on the region
+    # features before the concat (`AttModel_x2_mlp_dec.py:42-43,107`)
+    vis_v_mlp: bool = False
+    # x2_mlp_dec only: decoder cross-attention is plain content-masked
+    # multihead with no dec_mask (`AttModel_x2_mlp_dec.py:227-231,324`)
+    dec_cross: str = "graph"
 
     @nn.compact
     def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, syb_ipt,
@@ -290,9 +302,12 @@ class X2DecModel(nn.Module):
 
         vis_glove = shared or GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt,
                                          name="vis_syb_emb")
+        if self.vis_v_mlp:
+            vis_fea = jax.nn.relu(
+                nn.Dense(cfg.vis_fea_dim, dtype=dt, name="v_mlp")(vis_fea.astype(dt)))
         fea_vis = _EncoderDecoder(
             cfg, pe_table_size=cfg.maxlen, pe_dropout=True, name="att_vis_grid",
-            mlp_relu=self.mlp_relu,
+            mlp_relu=self.mlp_relu, dec_cross=self.dec_cross,
         )(vis_fea, vis_mask, vis_graph, q_ipt, q_graph, q_mask, vis_glove,
           deterministic)
 
@@ -342,10 +357,16 @@ class X2DecModel(nn.Module):
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads, causality=True,
                 dtype=dt, name=f"syb_dec_self_attention_{i}",
             )(dec, dec, dec, deterministic=deterministic)
-            dec = GraphGuidedAttention(
-                num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
-                name=f"syb_dec_vanilla_attention_{i}",
-            )(dec, fea, fea, dec_mask, deterministic=deterministic)
+            if self.dec_cross == "vanilla":
+                dec = MultiHeadAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"syb_dec_vanilla_attention_{i}",
+                )(dec, fea, fea, deterministic=deterministic)
+            else:
+                dec = GraphGuidedAttention(
+                    num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
+                    name=f"syb_dec_vanilla_attention_{i}",
+                )(dec, fea, fea, dec_mask, deterministic=deterministic)
             dec = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                               dtype=dt, name=f"syb_dec_feed_forward_{i}")(dec)
         fea_syb = dec
@@ -1145,9 +1166,14 @@ VARIANTS = {
     # ori is NOT an x2_dec twin: graph-mask (sum+1e-7) attention with live
     # dropout, PE-less self-attention-free decoder (`AttModel_x2_dec_ori.py`)
     "x2_dec_ori": (X2DecOriModel, {}),
-    "x2_mlp_dec": (X2DecModel, {"heads": "single"}),
-    "x2_syb_dec": (X2DecModel, {"heads": "single", "mlp_relu": False}),
-    "x2_fusion_dec": (X2DecModel, {"heads": "triple"}),
+    # mlp_dec: live v_mlp, ReLU'd syb_mlp_sequence, vanilla decoder cross-attn
+    # (`AttModel_x2_mlp_dec.py:42-43,107,227-231,324`), parity-tested
+    "x2_mlp_dec": (X2DecModel, {"heads": "single", "vis_v_mlp": True,
+                                "dec_cross": "vanilla"}),
+    # x2_syb_dec is byte-identical to x2_fusion_dec (one blank line apart):
+    # triple heads + the line's bare-Linear syb_mlp; both parity-tested live
+    "x2_syb_dec": (X2DecModel, {"heads": "triple", "mlp_relu": False}),
+    "x2_fusion_dec": (X2DecModel, {"heads": "triple", "mlp_relu": False}),
     "x2_fusion_dec_relatt": (X2FusionDecRelatt, {}),
     "x2_fusion_dec_mil": (X2FusionDecMil, {}),
     "x2_fusion_dec_mil2": (X2FusionDecMil2, {}),

@@ -628,3 +628,350 @@ def test_dec_ori_x4_logit_parity(rng, fork, none_graph_patch):
 
     got = np.asarray(model.apply({"params": params}, *args, deterministic=True))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+@pytest.mark.parametrize("fork", ["AttModel_x2_syb_dec", "AttModel_x2_fusion_dec"])
+def test_x2_fusion_syb_dec_triple_logit_parity(rng, fork):
+    """x2_syb_dec / x2_fusion_dec (byte-identical forks): triple heads over
+    the x2_dec body with the line's bare-Linear syb_mlp
+    (`AttModel_x2_fusion_dec.py:38,196-198,400-420`). These forks fixed the
+    dec-mask typo (`:133` ``nonzero``), so decMask=True is exercised here —
+    unlike the x2_dec test, whose fork crashes on its own ``nonzeor``."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import(fork)
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 6, 12
+    vocab = 407000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5, 0.1)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4, use_dec_mask=True,
+    )
+    name = {"AttModel_x2_syb_dec": "x2_syb_dec",
+            "AttModel_x2_fusion_dec": "x2_fusion_dec"}[fork]
+    model = build_variant(name, cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, syb_ipt, syb_mask1, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vis_mask1 = np.ones((b, lv), np.float32)
+    vis_mask1[0, lv - 1:] = 0.0
+    vis_graph = (rng.random((b, lv, lv)) < 0.5).astype(np.float32)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(sq(vis_mask1)),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(sq(q_mask1)),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(sq(syb_mask1)), jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args,
+                        vis_graph=jnp.asarray(vis_graph))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("att_vis_grid.syb_emb.weight", ["vis_syb_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["syb_syb_emb", "table"], False),
+        # vis branch: x3-body layout, bare-Linear syb_mlp
+        ("att_vis_grid.syb_mlp.weight", ["att_vis_grid", "syb_mlp", "kernel"], True),
+        ("att_vis_grid.syb_mlp.bias", ["att_vis_grid", "syb_mlp", "bias"], False),
+        ("att_vis_grid.syb_mlp2.weight", ["att_vis_grid", "syb_mlp2", "kernel"], True),
+        ("att_vis_grid.syb_mlp2.bias", ["att_vis_grid", "syb_mlp2", "bias"], False),
+        ("att_vis_grid.syb_positional_encoding.0.lookup_table",
+         ["att_vis_grid", "syb_positional_encoding", "lookup_table"], False),
+        ("att_vis_grid.dec_emb.lookup_table",
+         ["att_vis_grid", "dec_emb", "lookup_table"], False),
+        ("att_vis_grid.dec_positional_encoding.lookup_table",
+         ["att_vis_grid", "dec_positional_encoding", "lookup_table"], False),
+        # syb branch: Sequential(Linear, Linear) -> fc1/fc2 without relu
+        ("att_syb.syb_mlp.0.weight", ["syb_mlp", "fc1", "kernel"], True),
+        ("att_syb.syb_mlp.0.bias", ["syb_mlp", "fc1", "bias"], False),
+        ("att_syb.syb_mlp.1.weight", ["syb_mlp", "fc2", "kernel"], True),
+        ("att_syb.syb_mlp.1.bias", ["syb_mlp", "fc2", "bias"], False),
+        ("att_syb.syb_positional_encoding.lookup_table",
+         ["syb_positional_encoding", "lookup_table"], False, "prefix"),
+        ("att_syb.dec_emb.lookup_table", ["syb_dec_emb", "lookup_table"], False),
+        ("att_syb.dec_positional_encoding.lookup_table",
+         ["syb_dec_positional_encoding", "lookup_table"], False, "prefix"),
+    ]
+    for head in ("cls", "cls_vis", "cls_syb"):
+        entries += [
+            (f"{head}.0.weight", [f"{head}_hidden", "kernel"], True),
+            (f"{head}.0.bias", [f"{head}_hidden", "bias"], False),
+            (f"{head}.3.weight", [f"{head}_out", "kernel"], True),
+            (f"{head}.3.bias", [f"{head}_out", "bias"], False),
+        ]
+    for i in range(blocks):
+        entries += _attention_entries(f"att_vis_grid.enc_self_attention_{i}",
+                                      ["att_vis_grid", f"block_{i}", f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.enc_feed_forward_{i}",
+                                ["att_vis_grid", f"block_{i}", f"enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_vis_grid.{dmod}_{i}",
+                                          ["att_vis_grid", f"{dmod}_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.dec_feed_forward_{i}",
+                                ["att_vis_grid", f"dec_feed_forward_{i}"])
+        entries += _attention_entries(f"att_syb.enc_self_attention_{i}",
+                                      [f"syb_enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_syb.enc_feed_forward_{i}",
+                                [f"syb_enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_syb.{dmod}_{i}", [f"syb_{dmod}_{i}"])
+        entries += _ffn_entries(f"att_syb.dec_feed_forward_{i}",
+                                [f"syb_dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want_c, want_v, want_s = ref(
+            torch.from_numpy(vis_fea_raw[:, :, None, :]),
+            torch.from_numpy(sq(vis_mask1)), torch.from_numpy(q_ipt),
+            torch.from_numpy(sq(q_mask1)), torch.from_numpy(q_graph),
+            torch.from_numpy(syb_ipt), torch.from_numpy(sq(syb_mask1)),
+            torch.from_numpy(syb_graph), torch.from_numpy(vis_graph),
+            decMask=True, visGraph=True,
+        )
+
+    got_c, got_v, got_s = model.apply(
+        {"params": params}, *args, vis_graph=jnp.asarray(vis_graph),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(), atol=5e-4)
+
+
+def test_x2_mlp_dec_logit_parity(rng):
+    """x2_mlp_dec: the x2_dec body with a LIVE v_mlp 2048->2048+ReLU on the
+    region features, a ReLU'd 1-Linear syb_mlp_sequence on the question/node
+    path, and plain content-masked multihead decoder cross-attention with no
+    dec_mask (`AttModel_x2_mlp_dec.py:42-43,107,117,227-231,272,324`). The
+    registry previously collapsed this fork into plain
+    X2DecModel(heads='single') — this test pins the corrected knobs."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x2_mlp_dec")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 6, 12
+    vocab = 407000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5, 0.1)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4, use_dec_mask=False,
+    )
+    model = build_variant("x2_mlp_dec", cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, syb_ipt, syb_mask1, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vis_mask1 = np.ones((b, lv), np.float32)
+    vis_mask1[0, lv - 1:] = 0.0
+    vis_graph = (rng.random((b, lv, lv)) < 0.5).astype(np.float32)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(sq(vis_mask1)),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(sq(q_mask1)),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(sq(syb_mask1)), jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args,
+                        vis_graph=jnp.asarray(vis_graph))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("att_vis_grid.syb_emb.weight", ["vis_syb_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["syb_syb_emb", "table"], False),
+        ("cls.0.weight", ["cls_hidden", "kernel"], True),
+        ("cls.0.bias", ["cls_hidden", "bias"], False),
+        ("cls.3.weight", ["cls_out", "kernel"], True),
+        ("cls.3.bias", ["cls_out", "bias"], False),
+        # live v_mlp Linear(2048, 2048) (+ReLU) on the region features
+        ("att_vis_grid.v_mlp.0.weight", ["v_mlp", "kernel"], True),
+        ("att_vis_grid.v_mlp.0.bias", ["v_mlp", "bias"], False),
+        # vis branch question path: syb_mlp_sequence = Linear(300,2048)+ReLU
+        ("att_vis_grid.syb_mlp_sequence.0.weight",
+         ["att_vis_grid", "syb_mlp", "kernel"], True),
+        ("att_vis_grid.syb_mlp_sequence.0.bias",
+         ["att_vis_grid", "syb_mlp", "bias"], False),
+        ("att_vis_grid.syb_mlp2.weight", ["att_vis_grid", "syb_mlp2", "kernel"], True),
+        ("att_vis_grid.syb_mlp2.bias", ["att_vis_grid", "syb_mlp2", "bias"], False),
+        ("att_vis_grid.syb_positional_encoding.0.lookup_table",
+         ["att_vis_grid", "syb_positional_encoding", "lookup_table"], False),
+        ("att_vis_grid.dec_emb.lookup_table",
+         ["att_vis_grid", "dec_emb", "lookup_table"], False),
+        ("att_vis_grid.dec_positional_encoding.lookup_table",
+         ["att_vis_grid", "dec_positional_encoding", "lookup_table"], False),
+        # syb branch: syb_mlp_sequence = Linear(300,2048)+ReLU+Linear(2048,h)
+        ("att_syb.syb_mlp_sequence.0.weight", ["syb_mlp", "fc1", "kernel"], True),
+        ("att_syb.syb_mlp_sequence.0.bias", ["syb_mlp", "fc1", "bias"], False),
+        ("att_syb.syb_mlp_sequence.2.weight", ["syb_mlp", "fc2", "kernel"], True),
+        ("att_syb.syb_mlp_sequence.2.bias", ["syb_mlp", "fc2", "bias"], False),
+        ("att_syb.syb_positional_encoding.lookup_table",
+         ["syb_positional_encoding", "lookup_table"], False, "prefix"),
+        ("att_syb.dec_emb.lookup_table", ["syb_dec_emb", "lookup_table"], False),
+        ("att_syb.dec_positional_encoding.lookup_table",
+         ["syb_dec_positional_encoding", "lookup_table"], False, "prefix"),
+    ]
+    for i in range(blocks):
+        entries += _attention_entries(f"att_vis_grid.enc_self_attention_{i}",
+                                      ["att_vis_grid", f"block_{i}", f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.enc_feed_forward_{i}",
+                                ["att_vis_grid", f"block_{i}", f"enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_vis_grid.{dmod}_{i}",
+                                          ["att_vis_grid", f"{dmod}_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.dec_feed_forward_{i}",
+                                ["att_vis_grid", f"dec_feed_forward_{i}"])
+        entries += _attention_entries(f"att_syb.enc_self_attention_{i}",
+                                      [f"syb_enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_syb.enc_feed_forward_{i}",
+                                [f"syb_enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_syb.{dmod}_{i}", [f"syb_{dmod}_{i}"])
+        entries += _ffn_entries(f"att_syb.dec_feed_forward_{i}",
+                                [f"syb_dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(vis_fea_raw[:, :, None, :]),
+            torch.from_numpy(sq(vis_mask1)), torch.from_numpy(q_ipt),
+            torch.from_numpy(sq(q_mask1)), torch.from_numpy(q_graph),
+            torch.from_numpy(syb_ipt), torch.from_numpy(sq(syb_mask1)),
+            torch.from_numpy(syb_graph), torch.from_numpy(vis_graph),
+        ).numpy()
+
+    got = np.asarray(model.apply(
+        {"params": params}, *args, vis_graph=jnp.asarray(vis_graph),
+        deterministic=True))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_x_logit_parity(rng, none_graph_patch):
+    """AttModel_x: the earliest fork — two-stage graph-mask encoders with
+    SEPARATE stage-2 modules (`enc_self_attention_graph_i`,
+    `AttModel_x.py:37-53`), per-segment PEs, masked max-pool in BOTH branches
+    (`:93-94,177-178`), 400450-row tables. The flax side realizes stage 2 as
+    blocks n//2..n-1 of one indexed family — the weight map below pins the
+    correspondence."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen = 7, 40
+    b, lv, ls = 2, 9, 12
+    vocab = 400450
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, blocks, heads, 0.5)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=49, topn=2,
+        stage1_blocks=2, stage2_blocks=4,
+    )
+    model = build_variant("x", cfg)
+
+    vis_fea, q_ipt, q_mask, q_graph, syb_ipt, syb_mask, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+
+    args = (jnp.asarray(vis_fea), jnp.asarray(q_ipt, jnp.int32),
+            jnp.asarray(q_mask), jnp.asarray(q_graph),
+            jnp.asarray(syb_ipt, jnp.int32), jnp.asarray(syb_mask),
+            jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("q_emb.weight", ["q_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["syb_emb", "table"], False),
+        ("cls.0.weight", ["cls_hidden", "kernel"], True),
+        ("cls.0.bias", ["cls_hidden", "bias"], False),
+        ("cls.3.weight", ["cls_out", "kernel"], True),
+        ("cls.3.bias", ["cls_out", "bias"], False),
+    ]
+    entries += _mlp_entries("att_vis_grid.v_mlp", ["v_mlp"])
+    entries += _mlp_entries("att_syb.syb_mlp", ["syb_mlp"])
+    for branch, fb in (("att_vis_grid", "att_vis_grid"), ("att_syb", "att_syb")):
+        entries += _mlp_entries(f"{branch}.q_mlp", [fb, "q_mlp"])
+        entries.append((f"{branch}.q_positional_encoding.0.lookup_table",
+                        [fb, "q_positional_encoding", "lookup_table"], False))
+    entries.append(("att_vis_grid.v_positional_encoding.0.lookup_table",
+                    ["att_vis_grid", "positional_encoding", "lookup_table"], False))
+    entries.append(("att_syb.syb_positional_encoding.0.lookup_table",
+                    ["att_syb", "positional_encoding", "lookup_table"], False))
+    half = blocks // 2
+    for branch in ("att_vis_grid", "att_syb"):
+        for i in range(half):  # stage 1: torch enc_self_attention_i -> flax i
+            entries += _att_ffn_entries(branch, [branch], i)
+        for j in range(half):  # stage 2: torch *_graph_j -> flax half+j
+            src_att = f"{branch}.enc_self_attention_graph_{j}"
+            src_ffn = f"{branch}.enc_feed_forward_graph_{j}"
+            dst_i = half + j
+            entries += _attention_entries(src_att,
+                                          [branch, f"enc_self_attention_{dst_i}"])
+            entries += [
+                (f"{src_ffn}.conv1.0.weight",
+                 [branch, f"enc_feed_forward_{dst_i}", "fc1", "kernel"], True),
+                (f"{src_ffn}.conv1.0.bias",
+                 [branch, f"enc_feed_forward_{dst_i}", "fc1", "bias"], False),
+                (f"{src_ffn}.conv2.weight",
+                 [branch, f"enc_feed_forward_{dst_i}", "fc2", "kernel"], True),
+                (f"{src_ffn}.conv2.bias",
+                 [branch, f"enc_feed_forward_{dst_i}", "fc2", "bias"], False),
+                (f"{src_ffn}.normalization.gamma",
+                 [branch, f"enc_feed_forward_{dst_i}", "ln", "gamma"], False),
+                (f"{src_ffn}.normalization.beta",
+                 [branch, f"enc_feed_forward_{dst_i}", "ln", "beta"], False),
+            ]
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(vis_fea[:, :, None, :]),
+            torch.from_numpy(q_ipt), torch.from_numpy(q_mask),
+            torch.from_numpy(q_graph), torch.from_numpy(syb_ipt),
+            torch.from_numpy(syb_mask), torch.from_numpy(syb_graph),
+        ).numpy()
+
+    got = np.asarray(model.apply({"params": params}, *args, deterministic=True))
+    np.testing.assert_allclose(got, want, atol=5e-4)
