@@ -25,8 +25,9 @@ Family map (reference file -> class here; structural knobs in parentheses):
   features substituted into the vis-symbolic node graph)
 * `AttModel_x2_fusion_dec_mil.py`  -> :class:`X2FusionDecMil`
 * `AttModel_x2_fusion_dec_mil2.py` -> :class:`X2FusionDecMil2`
-* `AttModel_x3_ori.py`       -> :class:`X2DecModel` (heads='triple'); the
-                                maintained successor is `att_model_x3.AttModelX3`
+* `AttModel_x3_ori.py`       -> :class:`X3OriModel` (the x3 body with maxlen
+                                PE tables, no vis graph, and the batch-loop
+                                MIL); the successor is `att_model_x3.AttModelX3`
 * `AttModel_x5_dec_mil.py`   -> :class:`X5DecMil`
 * `AttModel_x6_dec_mil.py`   -> :class:`X6DecMil`
 * `AttModel_x7_dec_mil.py`   -> :class:`X7DecMil`
@@ -729,14 +730,18 @@ class X7DecMil(nn.Module):
         lq = q_ipt.shape[1]
         lv = vis_fea.shape[1]
 
+        # x7 hardcodes its depths: 2-block self stacks, 3-block interleaved
+        # alignment, 4 blocks everywhere else — the ctor's num_blocks arg is
+        # overwritten (`AttModel_x7_dec_mil.py:168,174-176`)
+        n_main = 4
         v = _VisFeaPath(cfg, name="att_vis")(vis_fea, deterministic)
-        fea_vis = _SelfStack(cfg, cfg.num_blocks, name="att_vis_stack")(v, None, deterministic)
+        fea_vis = _SelfStack(cfg, 2, name="att_vis_stack")(v, None, deterministic)
         s = _SybFeaPath(cfg, name="att_syb")(syb_ipt, deterministic)
-        fea_syb = _SelfStack(cfg, cfg.num_blocks, name="att_syb_stack")(
+        fea_syb = _SelfStack(cfg, 2, name="att_syb_stack")(
             s, syb_graph, deterministic)
 
         att_weights = []
-        for i in range(cfg.num_blocks):
+        for i in range(3):
             joint = jnp.concatenate([fea_vis, fea_syb], axis=1)
             joint = GraphMaskAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
@@ -773,7 +778,7 @@ class X7DecMil(nn.Module):
         q = q * q_mask_1d.astype(q.dtype)[..., None]
 
         fused = jnp.concatenate([fea_vis, fea_syb], axis=1)
-        for i in range(cfg.num_blocks):
+        for i in range(n_main):
             q = GraphMaskAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
                 name=f"enc_self_attention_{i}",
@@ -781,9 +786,10 @@ class X7DecMil(nn.Module):
             q = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                             dtype=dt, name=f"enc_feed_forward_{i}")(q)
 
-        dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
+        # 2-row BOS table, index 1 (`x7:240,279-280`)
+        dec = Embedding(2, cfg.hidden_size, scale=True, dtype=dt,
                         name="dec_emb")(jnp.ones((b, 1), jnp.int32))
-        for i in range(cfg.num_blocks):
+        for i in range(n_main):
             dec = GraphMaskAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
                 name=f"dec_vanilla_attention_{i}",
@@ -814,17 +820,20 @@ class X6DecMil(nn.Module):
         lq = q_ipt.shape[1]
         ls = syb_ipt.shape[1]
 
+        # the per-modality self stacks and the alignment stack are HARDCODED
+        # to 2 blocks in the fork (`AttModel_x6_dec_mil.py:157-159`),
+        # independent of num_blocks
         v = _VisFeaPath(cfg, name="att_vis")(vis_fea, deterministic)
-        fea_vis = _SelfStack(cfg, cfg.num_blocks, name="att_vis_stack")(v, None, deterministic)
+        fea_vis = _SelfStack(cfg, 2, name="att_vis_stack")(v, None, deterministic)
         s = _SybFeaPath(cfg, name="att_syb")(syb_ipt, deterministic)
-        fea_syb = _SelfStack(cfg, cfg.num_blocks, name="att_syb_stack")(
+        fea_syb = _SelfStack(cfg, 2, name="att_syb_stack")(
             s, syb_graph, deterministic)
 
         # cross alignment: vis queries attend symbolic keys; last block's
         # attention feeds the MIL loss (`x6:136-146`)
         att_weights = []
         fv = fea_vis
-        for i in range(cfg.num_blocks):
+        for i in range(2):
             fv, att = GraphMaskAttention(
                 num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
                 return_att=True, name=f"align_cross_{i}",
@@ -836,9 +845,11 @@ class X6DecMil(nn.Module):
         fv = fv * vis_mask_1d.astype(fv.dtype)[..., None]
 
         # substitute aligned visual rows into the symbolic sequence at the
-        # object super-node rows (`x6:243-246`), scatter with -1 padding
+        # object super-node rows (`x6:243-246`). The fork indexes with the
+        # raw values — torch wraps negatives to the END of the sequence, a
+        # quirk kept here (loaders emit non-negative idx rows in practice)
         bi = jnp.arange(b)[:, None]
-        safe = jnp.where(idx_of_obj >= 0, idx_of_obj, ls)
+        safe = jnp.where(idx_of_obj >= 0, idx_of_obj, idx_of_obj + ls)
         n_obj = idx_of_obj.shape[1]
         fea_syb_vis = fea_syb.at[bi, safe].set(fv[:, :n_obj], mode="drop")
 
@@ -853,11 +864,18 @@ class X6DecMil(nn.Module):
                         dtype=dt, name="q_self_feed_forward")(q)
         q = q * q_mask_1d.astype(q.dtype)[..., None]
 
-        stages = _stage_graphs_1d(syb_mask_1d, q_mask_1d, q_graph, syb_graph, "x2")
-        # x6 builds graph_diag from mask *rows* for both blocks (`x6:296-299`)
+        # key-validity diagonal blocks (`x6:265-267` — masks broadcast over
+        # query rows in BOTH the symbolic and the substituted branch), zeroed
+        # diag in the cross stage, ones+graphs in the final stage
+        stages = _stage_graphs_1d(syb_mask_1d, q_mask_1d, q_graph, syb_graph,
+                                  "x2", visual=False)
         plan = ([stages[0]] * cfg.stage1_blocks
                 + [stages[1]] * (cfg.stage2_blocks - cfg.stage1_blocks)
                 + [stages[2]] * (cfg.num_blocks - cfg.stage2_blocks))
+
+        # one SHARED 2-row decoder BOS table for both branches
+        # (`x6:229,289-291` — a single top-level dec_emb, index 1)
+        dec_emb = Embedding(2, cfg.hidden_size, scale=True, dtype=dt, name="dec_emb")
 
         def staged_branch(name, seq):
             fea = jnp.concatenate([seq, q], axis=1)
@@ -868,8 +886,7 @@ class X6DecMil(nn.Module):
                 )(fea, fea, fea, g, deterministic=deterministic)
                 fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                                   dtype=dt, name=f"{name}_enc_feed_forward_{i}")(fea)
-            dec = Embedding(cfg.num_classes, cfg.hidden_size, scale=True, dtype=dt,
-                            name=f"{name}_dec_emb")(jnp.ones((b, 1), jnp.int32))
+            dec = dec_emb(jnp.ones((b, 1), jnp.int32))
             for i in range(cfg.num_blocks):
                 dec = GraphMaskAttention(
                     num_units=cfg.hidden_size, num_heads=cfg.num_heads, dtype=dt,
@@ -887,34 +904,6 @@ class X6DecMil(nn.Module):
         return nn.Dense(cfg.num_classes, dtype=dt, name="cls_out")(h), att_weights
 
 
-
-
-class _CrossAlignStack(nn.Module):
-    """Cross alignment: vis queries attend symbolic keys, collecting attention
-    weights for the margin-rank MIL loss (`AttModel_x2_fusion_dec_mil.py:425-456`,
-    `AttModel_x6_dec_mil.py:118-146`)."""
-
-    cfg: ModelConfig
-    n_blocks: int
-    num_units: int
-    keep: str = "all"  # 'all' | 'last'
-
-    @nn.compact
-    def __call__(self, vis_fea, syb_fea, deterministic=True):
-        cfg = self.cfg
-        dt = cfg.compute_dtype
-        att_weights = []
-        for i in range(self.n_blocks):
-            vis_fea, att = GraphMaskAttention(
-                num_units=self.num_units, num_heads=cfg.num_heads, dtype=dt,
-                return_att=True, name=f"align_cross_{i}",
-            )(vis_fea, syb_fea, syb_fea, None, deterministic=deterministic)
-            vis_fea = FeedForward(self.num_units, (4 * self.num_units, self.num_units),
-                                  dtype=dt, name=f"align_cross_ffn_{i}")(vis_fea)
-            att_weights.append(att)
-        if self.keep == "last":
-            att_weights = [att_weights[-1]]
-        return vis_fea, att_weights
 
 
 class _OneTokenDecoder(nn.Module):
@@ -958,6 +947,10 @@ class _StagedEncoderOnly(nn.Module):
     cfg: ModelConfig
     pe_table_size: int
     ids_input: bool  # symbolic branch embeds [ids ++ q ids] jointly
+    # the fusion_dec_mil line's syb_mlps are bare Linears — the ReLU'd
+    # Sequential is commented out (`AttModel_x2_fusion_dec_mil.py:34-38,
+    # 232-234`); x3_ori's vis branch re-enables the ReLU
+    mlp_relu: bool = False
 
     @nn.compact
     def __call__(self, modality, modality_mask, modality_graph, q_ipt, q_graph,
@@ -967,12 +960,13 @@ class _StagedEncoderOnly(nn.Module):
         if self.ids_input:
             b, lm = modality.shape
             joint = jnp.concatenate([modality, q_ipt], axis=1)
-            fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt, name="syb_mlp")(
-                glove(joint))
+            fea = _TwoLayerMLP(cfg.vis_fea_dim, cfg.hidden_size, dt,
+                               relu=self.mlp_relu, name="syb_mlp")(glove(joint))
         else:
             b, lm = modality.shape[:2]
-            q_fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(
-                glove(q_ipt)))
+            q_fea = nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(glove(q_ipt))
+            if self.mlp_relu:
+                q_fea = jax.nn.relu(q_fea)
             fea = jnp.concatenate([modality.astype(dt), q_fea], axis=1)
             fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
         size = fea.shape[1]
@@ -996,6 +990,45 @@ class _StagedEncoderOnly(nn.Module):
             fea = FeedForward(cfg.hidden_size, (4 * cfg.hidden_size, cfg.hidden_size),
                               dtype=dt, name=f"enc_feed_forward_{i}")(fea)
         return fea, dec_mask
+
+
+class _MILAlignRef(nn.Module):
+    """The fusion_dec_mil line's MIL alignment stack
+    (`AttModel_x2_fusion_dec_mil.py:425-456`,
+    `AttModel_x2_fusion_dec_mil2.py:363-393`): adds its own PE to the visual
+    queries, then 3 blocks of graph-GUIDED (L1-renorm) cross-attention whose
+    'graph' is the (B, Lq, 1) query-validity column — invalid query rows are
+    zeroed by the multiply and stay zero through the L1 clamp. Live attention
+    dropout (the only module in the family with a nonzero rate,
+    `mil:437`/`mil2:375`)."""
+
+    cfg: ModelConfig
+    num_units: int
+    n_blocks: int = 3
+    keep: str = "all"  # 'all' (mil) | 'last' (mil2)
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_valid, syb_fea, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        b, lv = vis_fea.shape[:2]
+        vis_fea = vis_fea + Embedding(
+            cfg.maxlen, self.num_units, zeros_pad=False, scale=False, dtype=dt,
+            name="syb_positional_encoding",
+        )(_positions(b, lv))
+        att_weights = []
+        for i in range(self.n_blocks):
+            vis_fea, att = GraphGuidedAttention(
+                num_units=self.num_units, num_heads=cfg.num_heads,
+                dropout_rate=cfg.dropout_rate, return_att=True, dtype=dt,
+                name=f"enc_self_attention_{i}",
+            )(vis_fea, syb_fea, syb_fea, vis_valid, deterministic=deterministic)
+            vis_fea = FeedForward(self.num_units, (4 * self.num_units, self.num_units),
+                                  dtype=dt, name=f"enc_feed_forward_{i}")(vis_fea)
+            att_weights.append(att)
+        if self.keep == "last":
+            att_weights = [att_weights[-1]]
+        return vis_fea, att_weights
 
 
 class X2FusionDecMil(nn.Module):
@@ -1022,9 +1055,11 @@ class X2FusionDecMil(nn.Module):
             cfg, cfg.maxlen + cfg.maxlen_q, ids_input=True, name="att_syb_enc",
         )(syb_ipt, syb_mask, syb_graph, q_ipt, q_graph, q_mask, syb_glove, deterministic)
 
-        fea_vis_align, att_weights = _CrossAlignStack(
-            cfg, cfg.num_blocks, cfg.hidden_size, keep="all", name="MIL_align",
-        )(fea_vis, fea_syb, deterministic)
+        # valid_mask = dec_mask^T: the encoded [vis ++ q] row validity column
+        # (`AttModel_x2_fusion_dec_mil.py:135,534`)
+        fea_vis_align, att_weights = _MILAlignRef(
+            cfg, cfg.hidden_size, keep="all", name="MIL_align",
+        )(fea_vis, jnp.swapaxes(dec_mask_vis, 1, 2), fea_syb, deterministic)
 
         dec = _OneTokenDecoder(cfg, cfg.maxlen, name="att_vis_dec")
         dec_vis = dec(fea_vis_align, dec_mask_vis, deterministic)
@@ -1056,14 +1091,19 @@ class X2FusionDecMil2(nn.Module):
         cfg = self.cfg
         dt = cfg.compute_dtype
         glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
-        fea_syb_emb = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp0")(
-            glove(syb_ipt)))
+        # syb_mlp0 is a bare Linear(300, 2048); syb_mlp1 exists but is dead
+        # (`AttModel_x2_fusion_dec_mil2.py:440-441,450-451`)
+        fea_syb_emb = nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp0")(
+            glove(syb_ipt))
 
-        fea_vis_align, att_weights = _CrossAlignStack(
-            cfg, cfg.num_blocks, cfg.vis_fea_dim, keep="last", name="MIL_align",
-        )(vis_fea.astype(dt), fea_syb_emb, deterministic)
+        # vis validity column from the square mask's row sums (`mil2:454-459`)
+        vis_valid = (jnp.sum(vis_mask.astype(jnp.float32), axis=2) > 0
+                     ).astype(jnp.float32)[..., None]
+        fea_vis_align, att_weights = _MILAlignRef(
+            cfg, cfg.vis_fea_dim, keep="last", name="MIL_align",
+        )(vis_fea.astype(dt), vis_valid, fea_syb_emb, deterministic)
 
-        out = X2DecModel(cfg, heads="triple", name="body")(
+        out = X2DecModel(cfg, heads="triple", mlp_relu=False, name="body")(
             fea_vis_align, vis_mask, q_ipt, q_mask, q_graph, syb_ipt, syb_mask,
             syb_graph, vis_graph=vis_graph, deterministic=deterministic,
         )
@@ -1095,15 +1135,20 @@ class X2FusionDecRelatt(nn.Module):
         b, n_nodes = vis_syb_ipt.shape
         lq = q_ipt.shape[1]
         joint = jnp.concatenate([vis_syb_ipt, q_ipt], axis=1)
-        fea = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(glove(joint)))
+        # bare Linear(300, 2048) — the line's commented-out ReLU
+        # (`AttModel_x2_fusion_dec_relatt.py:26`)
+        fea = nn.Dense(cfg.vis_fea_dim, dtype=dt, name="syb_mlp")(glove(joint))
 
-        # substitute raw region features into the object-node rows
-        # (`relatt:93-94`): rows with link >= 0 take vis_fea[link]
+        # Substitute raw region features into the object-node rows. The
+        # reference assigns regions SEQUENTIALLY, not by link value: the j-th
+        # link-valid node row takes vis_fea[:, j]
+        # (`relatt:92-94` — ``fea[b, (link+1).nonzero()] = vis_fea[b, :k]``).
         bi = jnp.arange(b)[:, None]
-        region = jnp.clip(vis_syb_link, 0, vis_fea.shape[1] - 1)
-        subst = vis_fea[bi, region].astype(fea.dtype)            # (B, N, 2048)
-        valid = (vis_syb_link >= 0)[..., None]
-        node_part = jnp.where(valid, subst, fea[:, :n_nodes])
+        valid1 = vis_syb_link >= 0                                # (B, N)
+        rank = jnp.cumsum(valid1.astype(jnp.int32), axis=1) - 1   # j-th valid -> j
+        rank = jnp.clip(rank, 0, vis_fea.shape[1] - 1)
+        subst = vis_fea[bi, rank].astype(fea.dtype)               # (B, N, 2048)
+        node_part = jnp.where(valid1[..., None], subst, fea[:, :n_nodes])
         fea = jnp.concatenate([node_part, fea[:, n_nodes:]], axis=1)
 
         fea = nn.Dense(cfg.hidden_size, dtype=dt, name="syb_mlp2")(fea)
@@ -1151,6 +1196,160 @@ class X2FusionDecRelatt(nn.Module):
         return logits_concat, logits_vis, logits_syb
 
 
+PAD_ID = 400000  # `AttModel_x3_ori.py:12` — MIL relation candidate padding
+
+
+class _MILNCELoop(nn.Module):
+    """x3_ori's MIL-NCE: the batch-loop precursor of the production
+    :class:`~..att_model_x3.MILNCEModule` (`AttModel_x3_ori.py:281-421`).
+
+    Semantics preserved exactly (they differ from the production module):
+
+    * obj loss = SUM over the batch of per-sample ``log(Σ mask·e^pos /
+      (Σ mask·e^pos + Σ mask·e^neg))`` — raw exp, no logsumexp (`:356-359`);
+    * relation candidates index a per-PAIR bilinear score vector
+      ``x_i^T W x_j`` over ALL relations, softmaxed over relations
+      (`:384-404`); candidates equal to PAD (400000) are skipped;
+    * EVERY ordered object pair (i≠j) writes ``rel_mlp(new_rel_fea)`` into
+      its macro row — even all-PAD pairs, whose contribution is
+      ``rel_mlp(0)`` = pure bias (`:409-412`); writes happen in pair order
+      (later pairs overwrite), and a negative ``macro_rel_loc`` wraps to the
+      END of the sequence (torch negative indexing);
+    * the accumulating macro tensor is repeatedly detached (`:343,367,411`)
+      — realized as stop_gradient on the embedding path.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, macro_ipt, macro_obj_loc, macro_rel_loc,
+                 micro_pos_obj, micro_neg_obj, micro_obj_mask,
+                 micro_pos_rel, micro_neg_rel):
+        cfg = self.cfg
+        h = cfg.hidden_size_mil
+        dt = cfg.compute_dtype
+        b, ls = macro_ipt.shape
+        o = vis_fea.shape[1]
+
+        glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt, name="syb_emb")
+        macro_fea = jax.nn.relu(nn.Dense(h, dtype=dt, name="marco_mlp")(glove(macro_ipt)))
+        new_macro = jax.lax.stop_gradient(macro_fea)
+
+        syb_mlp = nn.Dense(h, dtype=dt, name="syb_mlp")
+        pos_fea = jax.nn.relu(syb_mlp(glove(micro_pos_obj)))     # (B, O, T, h)
+        neg_fea = jax.nn.relu(syb_mlp(glove(micro_neg_obj)))
+        vis_emb = jax.nn.relu(nn.Dense(h, dtype=dt, name="vis_mlp")(
+            vis_fea.astype(dt)))                                  # (B, O, h)
+
+        pos_scores = jnp.einsum("both,boh->bot", pos_fea, vis_emb,
+                                preferred_element_type=jnp.float32)
+        neg_scores = jnp.einsum("both,boh->bot", neg_fea, vis_emb,
+                                preferred_element_type=jnp.float32)
+        m = micro_obj_mask.astype(jnp.float32)
+        nume = jnp.sum(m * jnp.exp(pos_scores), axis=(1, 2))      # (B,)
+        deno = nume + jnp.sum(m * jnp.exp(neg_scores), axis=(1, 2))
+        mil_obj = jnp.sum(jnp.log(nume / deno))
+
+        w = jax.nn.softmax(pos_scores, axis=2).astype(pos_fea.dtype)
+        new_obj = jnp.sum(w[..., None] * pos_fea, axis=2)         # (B, O, h)
+
+        bi = jnp.arange(b)[:, None]
+        safe_loc = jnp.where(macro_obj_loc >= 0, macro_obj_loc, ls)
+        new_macro = new_macro.at[bi, safe_loc].set(
+            new_obj.astype(new_macro.dtype), mode="drop")
+
+        # ---- relations over all ordered pairs, in reference pair order ----
+        W = self.param("bilinear", nn.initializers.xavier_normal(),
+                       (cfg.num_relations, h, h), jnp.float32)
+        pairs = [(i, j) for i in range(o) for j in range(o) if i != j]
+        pi = jnp.asarray([p[0] for p in pairs])
+        pj = jnp.asarray([p[1] for p in pairs])
+        xi = new_obj[:, pi].astype(jnp.float32)                   # (B, P, h)
+        xj = new_obj[:, pj].astype(jnp.float32)
+        rels = jnp.einsum("bph,rhg,bpg->bpr", xi, W, xj)          # (B, P, R)
+        sm = jax.nn.softmax(rels, axis=-1)
+
+        p_cand = micro_pos_rel[:, :len(pairs)]                    # (B, P, C)
+        n_cand = micro_neg_rel[:, :len(pairs)]
+        valid = (p_cand != PAD_ID)
+        cp = jnp.clip(p_cand, 0, cfg.num_relations - 1)
+        cn = jnp.clip(n_cand, 0, cfg.num_relations - 1)
+        gp = jnp.take_along_axis(rels, cp, axis=-1)               # (B, P, C)
+        gn = jnp.take_along_axis(rels, cn, axis=-1)
+        vf = valid.astype(jnp.float32)
+        nume_r = jnp.sum(vf * jnp.exp(gp), axis=-1)               # (B, P)
+        deno_r = nume_r + jnp.sum(vf * jnp.exp(gn), axis=-1)
+        mil_rel = jnp.sum(jnp.where(deno_r > 0.0,
+                                    jnp.log(nume_r / jnp.maximum(deno_r, 1e-30)),
+                                    0.0))
+
+        # softmax weight of each positive candidate's relation
+        wp = jnp.take_along_axis(sm, cp, axis=-1) * vf            # (B, P, C)
+        coeff = jnp.sum(jax.nn.one_hot(cp, cfg.num_relations) * wp[..., None],
+                        axis=2)                                   # (B, P, R)
+        new_rel_fea = jnp.einsum("bpr,rhg->bphg", coeff, W)       # (B, P, h, h)
+        rel_h = jax.nn.relu(nn.Dense(h, dtype=dt, name="rel_mlp_fc1")(
+            new_rel_fea.astype(dt)))
+        rel_out = nn.Dense(1, dtype=dt, name="rel_mlp_fc2")(rel_h)[..., 0]  # (B, P, h)
+
+        loc = macro_rel_loc[:, :len(pairs)]
+        wrapped = jnp.where(loc >= 0, loc, loc + ls)
+        barange = jnp.arange(b)
+        for p in range(len(pairs)):  # ordered writes — later pairs overwrite
+            new_macro = new_macro.at[barange, wrapped[:, p]].set(
+                rel_out[:, p].astype(new_macro.dtype))
+
+        out = jax.nn.relu(nn.Dense(cfg.vis_fea_dim, dtype=dt, name="ipt_mlp")(new_macro))
+        return out, mil_obj, mil_rel
+
+
+class X3OriModel(nn.Module):
+    """AttModel_x3_ori: the production x3 body with (a) maxlen-sized symbolic
+    PE/decoder tables instead of maxlen+maxlen_q (`AttModel_x3_ori.py:174,183`),
+    (b) NO visual-branch graph input (vis block constant 1, `:119`), and
+    (c) the batch-loop MIL above. Returns
+    (logits_concat, logits_vis, logits_syb, mil_obj, mil_rel)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, vis_fea, vis_mask, q_ipt, q_mask, q_graph, macro_ipt,
+                 macro_mask, macro_graph, macro_obj_loc, macro_rel_loc,
+                 micro_pos_obj, micro_neg_obj, micro_obj_mask,
+                 micro_pos_rel, micro_neg_rel, deterministic: bool = True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+
+        new_macro, mil_obj, mil_rel = _MILNCELoop(cfg, name="mil_nce")(
+            vis_fea, macro_ipt, macro_obj_loc, macro_rel_loc,
+            micro_pos_obj, micro_neg_obj, micro_obj_mask,
+            micro_pos_rel, micro_neg_rel)
+
+        vis_glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt,
+                               name="vis_syb_emb")
+        fea_vis = _EncoderDecoder(
+            cfg, pe_table_size=cfg.maxlen, pe_dropout=True, name="att_vis_grid",
+        )(vis_fea, vis_mask, None, q_ipt, q_graph, q_mask, vis_glove, deterministic)
+
+        syb_glove = GloVeEmbed(cfg.vocab_size, cfg.glove_dim, dtype=dt,
+                               name="syb_syb_emb")
+        fea_syb = _EncoderDecoder(
+            cfg, pe_table_size=cfg.maxlen, pe_dropout=False, name="att_syb",
+        )(new_macro, macro_mask, macro_graph, q_ipt, q_graph, q_mask, syb_glove,
+          deterministic)
+
+        def head(prefix, x):
+            x = jax.nn.relu(nn.Dense(cfg.hidden_size, dtype=dt, name=f"{prefix}_hidden")(x))
+            x = nn.Dropout(cfg.dropout_rate, deterministic=deterministic)(x)
+            return nn.Dense(cfg.num_classes, dtype=dt, name=f"{prefix}_out")(x)
+
+        logits_vis = head("cls_vis", fea_vis)[:, 0]
+        logits_syb = head("cls_syb", fea_syb)[:, 0]
+        fused = jnp.concatenate([fea_syb[:, 0], fea_vis[:, 0]], axis=1)
+        logits_concat = head("cls", fused)
+        return logits_concat, logits_vis, logits_syb, mil_obj, mil_rel
+
+
 # ---- registry: reference model name -> (class, kwargs) --------------------------
 
 VARIANTS = {
@@ -1177,7 +1376,9 @@ VARIANTS = {
     "x2_fusion_dec_relatt": (X2FusionDecRelatt, {}),
     "x2_fusion_dec_mil": (X2FusionDecMil, {}),
     "x2_fusion_dec_mil2": (X2FusionDecMil2, {}),
-    "x3_ori": (X2DecModel, {"heads": "triple"}),
+    # x3_ori is an early AttModel_x3 (maxlen PE tables, no vis graph, the
+    # batch-loop MIL), NOT an x2_dec twin — parity-tested live
+    "x3_ori": (X3OriModel, {}),
     "x4_dec": (X4DecModel, {}),
     "x5_dec_mil": (X5DecMil, {}),
     "x6_dec_mil": (X6DecMil, {}),

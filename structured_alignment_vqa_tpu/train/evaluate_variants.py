@@ -30,7 +30,13 @@ from structured_alignment_vqa_tpu.ops.layers import label_smoothing
 from structured_alignment_vqa_tpu.utils.logging import setup_logging
 from structured_alignment_vqa_tpu.utils.metrics import AverageMeter
 
-MODEL_V_TO_VARIANT = {1: "x", 2: "x2", 3: "x3_ori"}
+# model_v 3 is intentionally absent: the reference eval driver's v3 path is
+# dead code — it imports the 14-arg AttModel_x3 and calls it with 9 args
+# (`eval_itp_grid_ddp_tar_gt.py:11,106`), so it cannot have been run. The
+# production x3 eval lives in train/evaluate.py; the x3_ori ablation (MIL
+# inputs, 5-tuple output) is reachable via --variant plus the production
+# loader, not this driver's id-based batch format.
+MODEL_V_TO_VARIANT = {1: "x", 2: "x2"}
 
 
 def _square(mask_1d: jax.Array) -> jax.Array:
@@ -40,7 +46,7 @@ def _square(mask_1d: jax.Array) -> jax.Array:
 
 # variants taking the (vis, vis_mask2d, q, q_mask2d, ...) block-diag signature
 DEC_FAMILY = {"x2_dec", "x2_dec_ori", "x2_mlp_dec", "x2_syb_dec",
-              "x2_fusion_dec", "x2_fusion_dec_relatt", "x3_ori"}
+              "x2_fusion_dec", "x2_fusion_dec_relatt"}
 # variants taking 1-D masks + returning (logits, att_weights); x6 additionally
 # takes idx_of_obj (use --loader itp_bbox_q so it is emitted)
 MIL_FAMILY = {"x5_dec_mil", "x6_dec_mil", "x7_dec_mil"}

@@ -975,3 +975,740 @@ def test_x_logit_parity(rng, none_graph_patch):
 
     got = np.asarray(model.apply({"params": params}, *args, deterministic=True))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def _enc_branch_entries(tsrc, fdst, blocks, pe_mode="exact", pe_seq=False):
+    """Entries for one _StagedEncoderOnly branch (fusion_dec_mil/relatt)."""
+    e = []
+    pe_name = f"{tsrc}.syb_positional_encoding" + (".0" if pe_seq else "")
+    e.append((f"{pe_name}.lookup_table",
+              fdst + ["syb_positional_encoding", "lookup_table"], False, pe_mode))
+    for i in range(blocks):
+        e += _attention_entries(f"{tsrc}.enc_self_attention_{i}",
+                                fdst + [f"enc_self_attention_{i}"])
+        e += _ffn_entries(f"{tsrc}.enc_feed_forward_{i}",
+                          fdst + [f"enc_feed_forward_{i}"])
+    return e
+
+
+def _dec_stack_entries(tsrc, fdst, blocks, pe_mode="exact"):
+    """Entries for one _OneTokenDecoder stack."""
+    e = [
+        (f"{tsrc}.dec_emb.lookup_table", fdst + ["dec_emb", "lookup_table"], False),
+        (f"{tsrc}.dec_positional_encoding.lookup_table",
+         fdst + ["dec_positional_encoding", "lookup_table"], False, pe_mode),
+    ]
+    for i in range(blocks):
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            e += _attention_entries(f"{tsrc}.{dmod}_{i}", fdst + [f"{dmod}_{i}"])
+        e += _ffn_entries(f"{tsrc}.dec_feed_forward_{i}", fdst + [f"dec_feed_forward_{i}"])
+    return e
+
+
+def _mil_align_entries(tsrc, fdst, n_blocks=3):
+    e = [(f"{tsrc}.syb_positional_encoding.lookup_table",
+          fdst + ["syb_positional_encoding", "lookup_table"], False)]
+    for i in range(n_blocks):
+        e += _attention_entries(f"{tsrc}.enc_self_attention_{i}",
+                                fdst + [f"enc_self_attention_{i}"])
+        e += _ffn_entries(f"{tsrc}.enc_feed_forward_{i}",
+                          fdst + [f"enc_feed_forward_{i}"])
+    return e
+
+
+def _triple_head_entries(prefix_map=None):
+    e = []
+    for head in ("cls", "cls_vis", "cls_syb"):
+        dst = ([head] if prefix_map is None else prefix_map + [head])
+        e += [
+            (f"{head}.0.weight", dst[:-1] + [f"{head}_hidden", "kernel"], True),
+            (f"{head}.0.bias", dst[:-1] + [f"{head}_hidden", "bias"], False),
+            (f"{head}.3.weight", dst[:-1] + [f"{head}_out", "kernel"], True),
+            (f"{head}.3.bias", dst[:-1] + [f"{head}_out", "bias"], False),
+        ]
+    return e
+
+
+def test_x2_fusion_dec_mil_logit_and_att_parity(rng):
+    """fusion_dec_mil: split staged encoders (bare-Linear syb_mlps) -> MIL
+    alignment between the full encoded sequences with the fork's own PE +
+    L1-renorm cross-attention over the validity-column graph
+    (`AttModel_x2_fusion_dec_mil.py:425-456,526-553`) -> shared VISUAL decoder
+    for both branches (`:537-538`, att_syb_dec is constructed but dead).
+    Verifies the triple logits and the 3 alignment attention maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x2_fusion_dec_mil")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 6, 12
+    vocab = 407000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5, 0.1)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4, use_dec_mask=True,
+    )
+    model = build_variant("x2_fusion_dec_mil", cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, syb_ipt, syb_mask1, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vis_mask1 = np.ones((b, lv), np.float32)
+    vis_mask1[0, lv - 1:] = 0.0
+    vis_graph = (rng.random((b, lv, lv)) < 0.5).astype(np.float32)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(sq(vis_mask1)),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(sq(q_mask1)),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(sq(syb_mask1)), jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args,
+                        vis_graph=jnp.asarray(vis_graph))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("att_vis_enc.syb_emb.weight", ["vis_syb_emb", "table"], False),
+        ("att_syb_enc.syb_emb.weight", ["syb_syb_emb", "table"], False),
+        ("att_vis_enc.syb_mlp.weight", ["att_vis_enc", "syb_mlp", "kernel"], True),
+        ("att_vis_enc.syb_mlp.bias", ["att_vis_enc", "syb_mlp", "bias"], False),
+        ("att_vis_enc.syb_mlp2.weight", ["att_vis_enc", "syb_mlp2", "kernel"], True),
+        ("att_vis_enc.syb_mlp2.bias", ["att_vis_enc", "syb_mlp2", "bias"], False),
+        ("att_syb_enc.syb_mlp.0.weight", ["att_syb_enc", "syb_mlp", "fc1", "kernel"], True),
+        ("att_syb_enc.syb_mlp.0.bias", ["att_syb_enc", "syb_mlp", "fc1", "bias"], False),
+        ("att_syb_enc.syb_mlp.1.weight", ["att_syb_enc", "syb_mlp", "fc2", "kernel"], True),
+        ("att_syb_enc.syb_mlp.1.bias", ["att_syb_enc", "syb_mlp", "fc2", "bias"], False),
+    ]
+    entries += _triple_head_entries()
+    # vis enc PE is a Sequential (dropout) table of maxlen rows — exact;
+    # syb enc PE is a bare maxlen table vs maxlen+maxlen_q here — prefix
+    entries += _enc_branch_entries("att_vis_enc", ["att_vis_enc"], blocks,
+                                   pe_mode="exact", pe_seq=True)
+    entries += _enc_branch_entries("att_syb_enc", ["att_syb_enc"], blocks,
+                                   pe_mode="prefix", pe_seq=False)
+    entries += _mil_align_entries("MIL_align", ["MIL_align"])
+    entries += _dec_stack_entries("att_vis_dec", ["att_vis_dec"], blocks)
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want_c, want_v, want_s, want_att = ref(
+            torch.from_numpy(vis_fea_raw[:, :, None, :]),
+            torch.from_numpy(sq(vis_mask1)), torch.from_numpy(q_ipt),
+            torch.from_numpy(sq(q_mask1)), torch.from_numpy(q_graph),
+            torch.from_numpy(syb_ipt), torch.from_numpy(sq(syb_mask1)),
+            torch.from_numpy(syb_graph), torch.from_numpy(vis_graph),
+            decMask=True, visGraph=True,
+        )
+
+    got_c, got_v, got_s, got_att = model.apply(
+        {"params": params}, *args, vis_graph=jnp.asarray(vis_graph),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(), atol=5e-4)
+    assert len(got_att) == want_att.shape[0] == 3
+    for ga, wa in zip(got_att, want_att):
+        ga = np.asarray(ga)  # (B, H, Tq, Tk)
+        wa = wa.numpy().reshape(heads, b, wa.shape[1], wa.shape[2])
+        np.testing.assert_allclose(ga.transpose(1, 0, 2, 3), wa, atol=5e-4)
+
+
+def test_x2_fusion_dec_mil2_logit_and_att_parity(rng):
+    """fusion_dec_mil2: align the RAW 2048-d region features against
+    bare-Linear-embedded symbolic nodes BEFORE the dual encoders, 2048-wide
+    alignment stack keeping only the last block's attention
+    (`AttModel_x2_fusion_dec_mil2.py:363-393,444-474`); the aligned features
+    then feed the standard fusion_dec (triple-head, bare-syb_mlp) body."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x2_fusion_dec_mil2")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 6, 12
+    vocab = 407000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5, 0.1)
+    _perturb(ref, scale=0.02)
+
+    # vis_fea_dim doubles as the alignment width (2048 in production); shrink
+    # it so the 4x-width alignment FFN stays small. The GloVe dim is free.
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4, use_dec_mask=True,
+    )
+    model = build_variant("x2_fusion_dec_mil2", cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, syb_ipt, syb_mask1, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+    vis_fea_raw = vis_fea_raw * 0.1  # keep exp'd 2048-wide dots in range
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vis_mask1 = np.ones((b, lv), np.float32)
+    vis_mask1[0, lv - 1:] = 0.0
+    vis_graph = (rng.random((b, lv, lv)) < 0.5).astype(np.float32)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(sq(vis_mask1)),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(sq(q_mask1)),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(sq(syb_mask1)), jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args,
+                        vis_graph=jnp.asarray(vis_graph))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("syb_emb.weight", ["syb_emb", "table"], False),
+        ("syb_mlp0.weight", ["syb_mlp0", "kernel"], True),
+        ("syb_mlp0.bias", ["syb_mlp0", "bias"], False),
+        ("att_vis_grid.syb_emb.weight", ["body", "vis_syb_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["body", "syb_syb_emb", "table"], False),
+        ("att_vis_grid.syb_mlp.weight", ["body", "att_vis_grid", "syb_mlp", "kernel"], True),
+        ("att_vis_grid.syb_mlp.bias", ["body", "att_vis_grid", "syb_mlp", "bias"], False),
+        ("att_vis_grid.syb_mlp2.weight", ["body", "att_vis_grid", "syb_mlp2", "kernel"], True),
+        ("att_vis_grid.syb_mlp2.bias", ["body", "att_vis_grid", "syb_mlp2", "bias"], False),
+        # mil2's vis-branch PE is a BARE embedding (`mil2:203` has the
+        # Sequential only in the syb class; the vis class at `mil2:67`)
+        ("att_vis_grid.syb_positional_encoding.lookup_table",
+         ["body", "att_vis_grid", "syb_positional_encoding", "lookup_table"], False),
+        ("att_vis_grid.dec_emb.lookup_table",
+         ["body", "att_vis_grid", "dec_emb", "lookup_table"], False),
+        ("att_vis_grid.dec_positional_encoding.lookup_table",
+         ["body", "att_vis_grid", "dec_positional_encoding", "lookup_table"], False),
+        ("att_syb.syb_mlp.0.weight", ["body", "syb_mlp", "fc1", "kernel"], True),
+        ("att_syb.syb_mlp.0.bias", ["body", "syb_mlp", "fc1", "bias"], False),
+        ("att_syb.syb_mlp.1.weight", ["body", "syb_mlp", "fc2", "kernel"], True),
+        ("att_syb.syb_mlp.1.bias", ["body", "syb_mlp", "fc2", "bias"], False),
+        ("att_syb.syb_positional_encoding.lookup_table",
+         ["body", "syb_positional_encoding", "lookup_table"], False, "prefix"),
+        ("att_syb.dec_emb.lookup_table", ["body", "syb_dec_emb", "lookup_table"], False),
+        ("att_syb.dec_positional_encoding.lookup_table",
+         ["body", "syb_dec_positional_encoding", "lookup_table"], False, "prefix"),
+    ]
+    for head in ("cls", "cls_vis", "cls_syb"):
+        entries += [
+            (f"{head}.0.weight", ["body", f"{head}_hidden", "kernel"], True),
+            (f"{head}.0.bias", ["body", f"{head}_hidden", "bias"], False),
+            (f"{head}.3.weight", ["body", f"{head}_out", "kernel"], True),
+            (f"{head}.3.bias", ["body", f"{head}_out", "bias"], False),
+        ]
+    entries += _mil_align_entries("MIL_align", ["MIL_align"])
+    for i in range(blocks):
+        entries += _attention_entries(f"att_vis_grid.enc_self_attention_{i}",
+                                      ["body", "att_vis_grid", f"block_{i}", f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.enc_feed_forward_{i}",
+                                ["body", "att_vis_grid", f"block_{i}", f"enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_vis_grid.{dmod}_{i}",
+                                          ["body", "att_vis_grid", f"{dmod}_{i}"])
+        entries += _ffn_entries(f"att_vis_grid.dec_feed_forward_{i}",
+                                ["body", "att_vis_grid", f"dec_feed_forward_{i}"])
+        entries += _attention_entries(f"att_syb.enc_self_attention_{i}",
+                                      ["body", f"syb_enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_syb.enc_feed_forward_{i}",
+                                ["body", f"syb_enc_feed_forward_{i}"])
+        for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+            entries += _attention_entries(f"att_syb.{dmod}_{i}",
+                                          ["body", f"syb_{dmod}_{i}"])
+        entries += _ffn_entries(f"att_syb.dec_feed_forward_{i}",
+                                ["body", f"syb_dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        # 3-D region features: the fork's MIL_align consumes the raw input
+        # and would crash on the 4-D grid layout (`mil2:383`)
+        want_c, want_v, want_s, want_att = ref(
+            torch.from_numpy(vis_fea_raw),
+            torch.from_numpy(sq(vis_mask1)), torch.from_numpy(q_ipt),
+            torch.from_numpy(sq(q_mask1)), torch.from_numpy(q_graph),
+            torch.from_numpy(syb_ipt), torch.from_numpy(sq(syb_mask1)),
+            torch.from_numpy(syb_graph), torch.from_numpy(vis_graph),
+            decMask=True, visGraph=True,
+        )
+
+    got_c, got_v, got_s, got_att = model.apply(
+        {"params": params}, *args, vis_graph=jnp.asarray(vis_graph),
+        deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(), atol=2e-3)
+    assert len(got_att) == len(want_att) == 1
+    ga = np.asarray(got_att[0])
+    wa = want_att[0].numpy().reshape(heads, b, lv, ls)
+    np.testing.assert_allclose(ga.transpose(1, 0, 2, 3), wa, atol=2e-3)
+
+
+def test_x2_fusion_dec_relatt_logit_parity(rng):
+    """fusion_dec_relatt: the visual branch runs over the vis-symbolic node
+    graph with raw region features substituted SEQUENTIALLY into the
+    link-valid node rows (`AttModel_x2_fusion_dec_relatt.py:92-94` — the j-th
+    valid row takes vis_fea[:, j], not vis_fea[link]), bare-Linear syb_mlp,
+    triple heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x2_fusion_dec_relatt")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls, n_nodes = 2, 6, 12, 9
+    vocab = 407000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5, 0.1)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4, use_dec_mask=True,
+    )
+    model = build_variant("x2_fusion_dec_relatt", cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, syb_ipt, syb_mask1, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vs_ipt = rng.integers(1, vocab, size=(b, n_nodes)).astype(np.int64)
+    vs_mask1 = np.ones((b, n_nodes), np.float32)
+    vs_mask1[0, n_nodes - 2:] = 0.0
+    vs_graph = (rng.random((b, n_nodes, n_nodes)) < 0.4).astype(np.float32)
+    # link: -1 = not an object node; valid rows get regions 0..k-1 in order
+    vs_link = np.full((b, n_nodes), -1, np.int64)
+    vs_link[0, [1, 4, 6]] = [3, 0, 2]   # values ignored by the reference
+    vs_link[1, [0, 2, 3, 7]] = [1, 2, 0, 3]
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(vs_ipt, jnp.int32),
+            jnp.asarray(sq(vs_mask1)), jnp.asarray(vs_link, jnp.int32),
+            jnp.asarray(vs_graph), jnp.asarray(q_ipt, jnp.int32),
+            jnp.asarray(sq(q_mask1)), jnp.asarray(q_graph),
+            jnp.asarray(syb_ipt, jnp.int32), jnp.asarray(sq(syb_mask1)),
+            jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("att_vis.syb_emb.weight", ["vis_syb_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["syb_syb_emb", "table"], False),
+        ("att_vis.syb_mlp.weight", ["syb_mlp", "kernel"], True),
+        ("att_vis.syb_mlp.bias", ["syb_mlp", "bias"], False),
+        ("att_vis.syb_mlp2.weight", ["syb_mlp2", "kernel"], True),
+        ("att_vis.syb_mlp2.bias", ["syb_mlp2", "bias"], False),
+        ("att_vis.syb_positional_encoding.lookup_table",
+         ["syb_positional_encoding", "lookup_table"], False),
+        ("att_syb.syb_mlp.0.weight", ["att_syb_enc", "syb_mlp", "fc1", "kernel"], True),
+        ("att_syb.syb_mlp.0.bias", ["att_syb_enc", "syb_mlp", "fc1", "bias"], False),
+        ("att_syb.syb_mlp.1.weight", ["att_syb_enc", "syb_mlp", "fc2", "kernel"], True),
+        ("att_syb.syb_mlp.1.bias", ["att_syb_enc", "syb_mlp", "fc2", "bias"], False),
+        ("att_syb.syb_positional_encoding.lookup_table",
+         ["att_syb_enc", "syb_positional_encoding", "lookup_table"], False, "prefix"),
+    ]
+    entries += _triple_head_entries()
+    for i in range(blocks):
+        entries += _attention_entries(f"att_vis.enc_self_attention_{i}",
+                                      [f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_vis.enc_feed_forward_{i}",
+                                [f"enc_feed_forward_{i}"])
+        entries += _attention_entries(f"att_syb.enc_self_attention_{i}",
+                                      ["att_syb_enc", f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"att_syb.enc_feed_forward_{i}",
+                                ["att_syb_enc", f"enc_feed_forward_{i}"])
+    entries += _dec_stack_entries("att_vis", ["att_vis_dec"], blocks)
+    entries += _dec_stack_entries("att_syb", ["att_syb_dec"], blocks, pe_mode="prefix")
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want_c, want_v, want_s = ref(
+            torch.from_numpy(vis_fea_raw), torch.from_numpy(vs_ipt),
+            torch.from_numpy(sq(vs_mask1)), torch.from_numpy(vs_link),
+            torch.from_numpy(vs_graph), torch.from_numpy(q_ipt),
+            torch.from_numpy(sq(q_mask1)), torch.from_numpy(q_graph),
+            torch.from_numpy(syb_ipt), torch.from_numpy(sq(syb_mask1)),
+            torch.from_numpy(syb_graph), decMask=True, visGraph=True,
+        )
+
+    got_c, got_v, got_s = model.apply({"params": params}, *args, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(), atol=5e-4)
+
+
+def _x67_common_entries(blocks_self=2):
+    """Shared att_vis / att_syb / q-path entries for the x6/x7 forks."""
+    e = [
+        ("att_syb.syb_emb.weight", ["att_syb", "syb_emb", "table"], False),
+        ("q_emb.weight", ["q_emb", "table"], False),
+        ("cls.0.weight", ["cls_hidden", "kernel"], True),
+        ("cls.0.bias", ["cls_hidden", "bias"], False),
+        ("cls.3.weight", ["cls_out", "kernel"], True),
+        ("cls.3.bias", ["cls_out", "bias"], False),
+        ("dec_emb.lookup_table", ["dec_emb", "lookup_table"], False),
+        ("att_vis.v_positional_encoding.0.lookup_table",
+         ["att_vis", "v_positional_encoding", "lookup_table"], False),
+        ("att_syb.syb_positional_encoding.0.lookup_table",
+         ["att_syb", "syb_positional_encoding", "lookup_table"], False),
+        ("q_positional_encoding.0.lookup_table",
+         ["q_positional_encoding", "lookup_table"], False),
+    ]
+    e += _mlp_entries("att_vis.v_mlp", ["att_vis", "v_mlp"])
+    e += _mlp_entries("att_syb.syb_mlp", ["att_syb", "syb_mlp"])
+    e += _mlp_entries("q_mlp", ["q_mlp"])
+    for i in range(blocks_self):
+        for tb, fb in (("att_vis", "att_vis_stack"), ("att_syb", "att_syb_stack")):
+            e += _attention_entries(f"{tb}.enc_self_attention_{i}",
+                                    [fb, f"enc_self_attention_{i}"])
+            e += _ffn_entries(f"{tb}.enc_feed_forward_{i}",
+                              [fb, f"enc_feed_forward_{i}"])
+    e += _attention_entries("q_self_attention", ["q_self_attention"])
+    e += _ffn_entries("q_self_feed_forward", ["q_self_feed_forward"])
+    return e
+
+
+def test_x6_dec_mil_logit_and_att_parity(rng, none_graph_patch):
+    """x6: 2-block self stacks -> 2-block vis->syb alignment (last att kept)
+    -> aligned visual rows substituted at idx_of_obj -> two staged (key-
+    validity diag) encoders sharing ONE 2-row BOS table, concat head
+    (`AttModel_x6_dec_mil.py:157-159,229,243-246,265-267,289-291`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x6_dec_mil")
+    hidden, classes, blocks, heads = 32, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls, n_obj = 2, 6, 12, 4
+    vocab = 401000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               blocks, heads, 0.5)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=blocks, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4,
+    )
+    model = build_variant("x6_dec_mil", cfg)
+
+    vis_fea_raw, q_ipt, q_mask, q_graph, syb_ipt, syb_mask, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+    vis_mask = np.ones((b, lv), np.float32)
+    vis_mask[0, lv - 1:] = 0.0
+    idx_of_obj = np.stack([np.array([2, 5, 7, 9]), np.array([0, 3, 4, 8])]).astype(np.int64)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(vis_mask),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(q_mask),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(syb_mask), jnp.asarray(syb_graph),
+            jnp.asarray(idx_of_obj, jnp.int32))
+    params = model.init(jax.random.key(0), *args)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = _x67_common_entries()
+    for i in range(2):
+        entries += _attention_entries(f"MIL_align.enc_self_attention_{i}",
+                                      [f"align_cross_{i}"])
+        entries += _ffn_entries(f"MIL_align.enc_feed_forward_{i}",
+                                [f"align_cross_ffn_{i}"])
+    for branch in ("vq", "sq"):
+        for i in range(blocks):
+            entries += _attention_entries(f"{branch}_enc_self_attention_{i}",
+                                          [f"{branch}_enc_self_attention_{i}"])
+            entries += _ffn_entries(f"{branch}_enc_feed_forward_{i}",
+                                    [f"{branch}_enc_feed_forward_{i}"])
+            entries += _attention_entries(f"{branch}_dec_vanilla_attention_{i}",
+                                          [f"{branch}_dec_vanilla_attention_{i}"])
+            entries += _ffn_entries(f"{branch}_dec_feed_forward_{i}",
+                                    [f"{branch}_dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want, want_att = ref(
+            torch.from_numpy(vis_fea_raw), torch.from_numpy(vis_mask),
+            torch.from_numpy(q_ipt), torch.from_numpy(q_mask),
+            torch.from_numpy(q_graph), torch.from_numpy(syb_ipt),
+            torch.from_numpy(syb_mask), torch.from_numpy(syb_graph),
+            torch.from_numpy(idx_of_obj),
+        )
+
+    got, got_att = model.apply({"params": params}, *args, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4)
+    assert len(got_att) == len(want_att) == 1
+    ga = np.asarray(got_att[0])
+    wa = want_att[0].numpy().reshape(heads, b, lv, ls)
+    np.testing.assert_allclose(ga.transpose(1, 0, 2, 3), wa, atol=5e-4)
+
+
+def test_x7_dec_mil_logit_and_att_parity(rng, none_graph_patch):
+    """x7: hardcoded depths (2-block self stacks, 3-block interleaved
+    joint+cross alignment, 4 blocks elsewhere — the ctor's num_blocks is
+    overwritten, `AttModel_x7_dec_mil.py:168,174-176`); question tokens attend
+    the aligned pair, 1-token decoder over the question, single head."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x7_dec_mil")
+    hidden, classes, heads = 32, 11, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 6, 12
+    vocab = 401000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, classes, lq, maxlen, maxlen_v,
+                               99, heads, 0.5)  # num_blocks arg is ignored
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=7, vocab_size=vocab, glove_dim=300,
+        hidden_size=hidden, num_blocks=4, num_heads=heads,
+        dropout_rate=0.5, maxlen=maxlen, maxlen_q=lq, maxlen_v=maxlen_v,
+        topn=2, stage1_blocks=2, stage2_blocks=4,
+    )
+    model = build_variant("x7_dec_mil", cfg)
+
+    vis_fea_raw, q_ipt, q_mask, q_graph, syb_ipt, syb_mask, syb_graph = _x2_inputs(
+        rng, b, lv, lq, ls, vocab)
+    vis_mask = np.ones((b, lv), np.float32)
+    vis_mask[0, lv - 1:] = 0.0
+    idx_of_obj = np.zeros((b, 3), np.int64)  # unused by x7's forward
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(vis_mask),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(q_mask),
+            jnp.asarray(q_graph), jnp.asarray(syb_ipt, jnp.int32),
+            jnp.asarray(syb_mask), jnp.asarray(syb_graph))
+    params = model.init(jax.random.key(0), *args)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = _x67_common_entries()
+    entries += _attention_entries("gq_self_attention", ["gq_self_attention"])
+    entries += _ffn_entries("gq_self_feed_forward", ["gq_self_feed_forward"])
+    for i in range(3):
+        entries += _attention_entries(f"MIL_align.enc_self_attention_{i}",
+                                      [f"align_joint_{i}"])
+        entries += _ffn_entries(f"MIL_align.enc_feed_forward_{i}",
+                                [f"align_joint_ffn_{i}"])
+        entries += _attention_entries(f"MIL_align.align_enc_self_attention_{i}",
+                                      [f"align_cross_{i}"])
+        entries += _ffn_entries(f"MIL_align.align_enc_feed_forward_{i}",
+                                [f"align_cross_ffn_{i}"])
+    for i in range(4):
+        entries += _attention_entries(f"enc_self_attention_{i}",
+                                      [f"enc_self_attention_{i}"])
+        entries += _ffn_entries(f"enc_feed_forward_{i}", [f"enc_feed_forward_{i}"])
+        entries += _attention_entries(f"dec_vanilla_attention_{i}",
+                                      [f"dec_vanilla_attention_{i}"])
+        entries += _ffn_entries(f"dec_feed_forward_{i}", [f"dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want, want_att = ref(
+            torch.from_numpy(vis_fea_raw), torch.from_numpy(vis_mask),
+            torch.from_numpy(q_ipt), torch.from_numpy(q_mask),
+            torch.from_numpy(q_graph), torch.from_numpy(syb_ipt),
+            torch.from_numpy(syb_mask), torch.from_numpy(syb_graph),
+            torch.from_numpy(idx_of_obj),
+        )
+
+    got, got_att = model.apply({"params": params}, *args, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4)
+    assert len(got_att) == len(want_att) == 3
+    for ga, wa in zip(got_att, want_att):
+        ga = np.asarray(ga)
+        wa = wa.numpy().reshape(heads, b, lv, ls)
+        np.testing.assert_allclose(ga.transpose(1, 0, 2, 3), wa, atol=5e-4)
+
+
+def test_x3_ori_logit_and_mil_parity(rng):
+    """x3_ori: an early AttModel_x3 — maxlen-sized symbolic PE tables
+    (`AttModel_x3_ori.py:174,183`), no visual graph input (`:119`), and the
+    batch-loop MIL (`:281-421`): per-sample summed obj NCE, per-pair bilinear
+    relation scores softmaxed over relations, every ordered pair writing
+    rel_mlp(new_rel_fea) into its macro row (negative loc wraps). The registry
+    previously collapsed this fork into X2DecModel(heads='triple')."""
+    import jax
+    import jax.numpy as jnp
+
+    from structured_alignment_vqa_tpu.models.config import ModelConfig
+    from structured_alignment_vqa_tpu.models.variants import build_variant
+
+    ref_mod = _fresh_import("AttModel_x3_ori")
+    hidden, h_mil, classes, blocks, heads = 32, 16, 11, 6, 4
+    lq, maxlen, maxlen_v = 7, 40, 15
+    b, lv, ls = 2, 3, 12           # lv doubles as the MIL object count
+    t_top, n_rel = 2, 5
+    pairs = lv * (lv - 1)
+    cand = 2
+    vocab = 407000
+    PAD = 400000
+
+    glove = types.SimpleNamespace(vectors=torch.randn(50, 300))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        ref = ref_mod.AttModel(glove, hidden, h_mil, classes, lq, maxlen,
+                               maxlen_v, blocks, heads, 0.5, 0.1, n_rel)
+    _perturb(ref)
+
+    cfg = ModelConfig(
+        num_classes=classes, num_relations=n_rel, vocab_size=vocab,
+        glove_dim=300, hidden_size=hidden, hidden_size_mil=h_mil,
+        num_blocks=blocks, num_heads=heads, dropout_rate=0.5, maxlen=maxlen,
+        maxlen_q=lq, maxlen_v=maxlen_v, topn=t_top,
+        stage1_blocks=2, stage2_blocks=4, use_dec_mask=True, only_obj=False,
+    )
+    model = build_variant("x3_ori", cfg)
+
+    vis_fea_raw, q_ipt, q_mask1, q_graph, macro_ipt, macro_mask1, macro_graph = \
+        _x2_inputs(rng, b, lv, lq, ls, vocab)
+
+    def sq(m1):
+        return m1[:, :, None] * m1[:, None, :]
+
+    vis_mask1 = np.ones((b, lv), np.float32)
+    macro_obj_loc = np.array([[2, 5, -1], [0, 4, 7]], np.int64)
+    macro_rel_loc = np.array([[1, 3, 4, 6, 8, -1], [1, 2, 3, 5, 6, 8]], np.int64)
+    micro_pos_obj = rng.integers(1, vocab, size=(b, lv, t_top)).astype(np.int64)
+    micro_neg_obj = rng.integers(1, vocab, size=(b, lv, t_top)).astype(np.int64)
+    micro_obj_mask = np.ones((b, lv, t_top), np.float32)
+    micro_obj_mask[0, 2, :] = 0.0
+    micro_obj_mask[1, 1, 1] = 0.0
+    micro_pos_rel = rng.integers(0, n_rel, size=(b, pairs, cand)).astype(np.int64)
+    micro_pos_rel[0, 3, :] = PAD       # an all-PAD pair (deno == 0 branch)
+    micro_pos_rel[0, 1, 1] = PAD
+    micro_pos_rel[1, 5, 0] = PAD
+    micro_neg_rel = rng.integers(0, n_rel, size=(b, pairs, cand)).astype(np.int64)
+
+    args = (jnp.asarray(vis_fea_raw), jnp.asarray(sq(vis_mask1)),
+            jnp.asarray(q_ipt, jnp.int32), jnp.asarray(sq(q_mask1)),
+            jnp.asarray(q_graph), jnp.asarray(macro_ipt, jnp.int32),
+            jnp.asarray(sq(macro_mask1)), jnp.asarray(macro_graph),
+            jnp.asarray(macro_obj_loc, jnp.int32),
+            jnp.asarray(macro_rel_loc, jnp.int32),
+            jnp.asarray(micro_pos_obj, jnp.int32),
+            jnp.asarray(micro_neg_obj, jnp.int32),
+            jnp.asarray(micro_obj_mask),
+            jnp.asarray(micro_pos_rel, jnp.int32),
+            jnp.asarray(micro_neg_rel, jnp.int32))
+    params = model.init(jax.random.key(0), *args)["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = ref.state_dict()
+    entries = [
+        ("att_vis_grid.syb_emb.weight", ["vis_syb_emb", "table"], False),
+        ("att_syb.syb_emb.weight", ["syb_syb_emb", "table"], False),
+        ("MIL_NCE.syb_emb.weight", ["mil_nce", "syb_emb", "table"], False),
+        ("MIL_NCE.marco_mlp.0.weight", ["mil_nce", "marco_mlp", "kernel"], True),
+        ("MIL_NCE.marco_mlp.0.bias", ["mil_nce", "marco_mlp", "bias"], False),
+        ("MIL_NCE.syb_mlp.0.weight", ["mil_nce", "syb_mlp", "kernel"], True),
+        ("MIL_NCE.syb_mlp.0.bias", ["mil_nce", "syb_mlp", "bias"], False),
+        ("MIL_NCE.vis_mlp.0.weight", ["mil_nce", "vis_mlp", "kernel"], True),
+        ("MIL_NCE.vis_mlp.0.bias", ["mil_nce", "vis_mlp", "bias"], False),
+        ("MIL_NCE.rel_mlp.0.weight", ["mil_nce", "rel_mlp_fc1", "kernel"], True),
+        ("MIL_NCE.rel_mlp.0.bias", ["mil_nce", "rel_mlp_fc1", "bias"], False),
+        ("MIL_NCE.rel_mlp.2.weight", ["mil_nce", "rel_mlp_fc2", "kernel"], True),
+        ("MIL_NCE.rel_mlp.2.bias", ["mil_nce", "rel_mlp_fc2", "bias"], False),
+        ("MIL_NCE.bilinear.weight", ["mil_nce", "bilinear"], False),
+        ("MIL_NCE.ipt_mlp.0.weight", ["mil_nce", "ipt_mlp", "kernel"], True),
+        ("MIL_NCE.ipt_mlp.0.bias", ["mil_nce", "ipt_mlp", "bias"], False),
+        # vis branch: ReLU'd Sequential syb_mlp (`x3_ori:40-41`)
+        ("att_vis_grid.syb_mlp.0.weight", ["att_vis_grid", "syb_mlp", "kernel"], True),
+        ("att_vis_grid.syb_mlp.0.bias", ["att_vis_grid", "syb_mlp", "bias"], False),
+        ("att_vis_grid.syb_mlp2.weight", ["att_vis_grid", "syb_mlp2", "kernel"], True),
+        ("att_vis_grid.syb_mlp2.bias", ["att_vis_grid", "syb_mlp2", "bias"], False),
+        ("att_vis_grid.syb_positional_encoding.0.lookup_table",
+         ["att_vis_grid", "syb_positional_encoding", "lookup_table"], False),
+        ("att_vis_grid.dec_emb.lookup_table",
+         ["att_vis_grid", "dec_emb", "lookup_table"], False),
+        ("att_vis_grid.dec_positional_encoding.lookup_table",
+         ["att_vis_grid", "dec_positional_encoding", "lookup_table"], False),
+        # syb branch: same MLP shape, bare maxlen PE tables (`x3_ori:170-174,183`)
+        ("att_syb.syb_mlp.0.weight", ["att_syb", "syb_mlp", "kernel"], True),
+        ("att_syb.syb_mlp.0.bias", ["att_syb", "syb_mlp", "bias"], False),
+        ("att_syb.syb_mlp2.weight", ["att_syb", "syb_mlp2", "kernel"], True),
+        ("att_syb.syb_mlp2.bias", ["att_syb", "syb_mlp2", "bias"], False),
+        ("att_syb.syb_positional_encoding.lookup_table",
+         ["att_syb", "syb_positional_encoding", "lookup_table"], False),
+        ("att_syb.dec_emb.lookup_table", ["att_syb", "dec_emb", "lookup_table"], False),
+        ("att_syb.dec_positional_encoding.lookup_table",
+         ["att_syb", "dec_positional_encoding", "lookup_table"], False),
+    ]
+    entries += _triple_head_entries()
+    for branch in ("att_vis_grid", "att_syb"):
+        for i in range(blocks):
+            entries += _attention_entries(f"{branch}.enc_self_attention_{i}",
+                                          [branch, f"block_{i}", f"enc_self_attention_{i}"])
+            entries += _ffn_entries(f"{branch}.enc_feed_forward_{i}",
+                                    [branch, f"block_{i}", f"enc_feed_forward_{i}"])
+            for dmod in ("dec_self_attention", "dec_vanilla_attention"):
+                entries += _attention_entries(f"{branch}.{dmod}_{i}",
+                                              [branch, f"{dmod}_{i}"])
+            entries += _ffn_entries(f"{branch}.dec_feed_forward_{i}",
+                                    [branch, f"dec_feed_forward_{i}"])
+    params = _copy(sd, params, entries)
+
+    with torch.no_grad():
+        want_c, want_v, want_s, want_mo, want_mr = ref(
+            torch.from_numpy(vis_fea_raw), torch.from_numpy(sq(vis_mask1)),
+            torch.from_numpy(q_ipt), torch.from_numpy(sq(q_mask1)),
+            torch.from_numpy(q_graph), torch.from_numpy(macro_ipt),
+            torch.from_numpy(sq(macro_mask1)), torch.from_numpy(macro_graph),
+            torch.from_numpy(macro_obj_loc), torch.from_numpy(macro_rel_loc),
+            torch.from_numpy(micro_pos_obj), torch.from_numpy(micro_neg_obj),
+            torch.from_numpy(micro_obj_mask), torch.from_numpy(micro_pos_rel),
+            torch.from_numpy(micro_neg_rel), decMask=True,
+        )
+
+    got_c, got_v, got_s, got_mo, got_mr = model.apply(
+        {"params": params}, *args, deterministic=True)
+    np.testing.assert_allclose(float(got_mo), float(want_mo), rtol=1e-4)
+    np.testing.assert_allclose(float(got_mr), float(want_mr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy(), atol=5e-4)
