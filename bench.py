@@ -105,6 +105,39 @@ def main() -> None:
     pairs_per_sec = batch_size * n_iters / elapsed
     peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
     mfu = flops_per_call * (n_iters / elapsed) / peak
+
+    # Second operating point in the SAME line (the driver contract is one
+    # JSON line): int8 weight-only serving (`ops/quant.py`), so a regression
+    # in either path is visible round-over-round (VERDICT r4 #8).
+    int8_pairs_per_sec = 0.0
+    try:
+        from structured_alignment_vqa_tpu.ops.quant import quantize_params
+
+        qparams = {"params": quantize_params(jax.device_get(params["params"]))}
+        qmodel = AttModelX3(cfg.replace(int8_serving=True))
+
+        @jax.jit
+        def predict_q(variables, batch, acc):
+            b = batch.replace(vis_fea=batch.vis_fea + acc * 1e-6)
+            lc, lv, ls_, _, _ = qmodel.apply(variables, b, deterministic=True)
+            log_sm = (
+                jax.nn.log_softmax(lv.astype(jnp.float32), -1)
+                + jax.nn.log_softmax(ls_.astype(jnp.float32), -1)
+                + jax.nn.log_softmax(lc.astype(jnp.float32), -1)
+            )
+            return acc + jnp.sum(jnp.argmax(log_sm, -1)).astype(jnp.float32) * 1e-9
+
+        acc = predict_q(qparams, batch, jnp.float32(0.0))
+        float(acc)
+        n_q = 30
+        t0 = time.perf_counter()
+        for _ in range(n_q):
+            acc = predict_q(qparams, batch, acc)
+        float(acc)
+        int8_pairs_per_sec = batch_size * n_q / (time.perf_counter() - t0)
+    except Exception:
+        pass  # int8 point is additive; the headline must still print
+
     print(json.dumps({
         "metric": "inference_pairs_per_sec",
         "value": round(pairs_per_sec, 2),
@@ -116,6 +149,9 @@ def main() -> None:
         # (VERDICT r2 #10): serving sweet spot bs=128 on the (36,98,30)
         # lane-aligned bucket (symbolic encoder length 98+30=128), f32 params
         "operating_point": "bs=128 bucket=(36,98,30) dtype=bf16",
+        # int8 weight-only serving at the same point (0.0 = failed to run)
+        "int8_pairs_per_sec": round(int8_pairs_per_sec, 2),
+        "int8_vs_baseline": round(int8_pairs_per_sec / BASELINE_PAIRS_PER_SEC, 4),
     }))
 
 

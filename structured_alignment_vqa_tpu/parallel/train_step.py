@@ -105,11 +105,29 @@ def shard_state(state: TrainState, mesh) -> TrainState:
     Params follow the sharding rules; optimizer-state subtrees that mirror the
     param tree (Adam's mu/nu) follow the same rules so a sharded table's
     moments live next to it; everything else (step counters) is replicated.
+
+    Sparse-table states (opt_state = ``(tx_state, TableOpt)``) REPLICATE the
+    GloVe table instead of row-sharding it over the model axis: the sparse
+    step gathers/scatters dynamic ``uids`` rows every step, and under a
+    row-sharded operand GSPMD lowers those to full-table all-gathers —
+    500 MB/step at the production point, erasing the path's entire purpose.
+    The table is the one array whose *optimizer traffic* (not its residency)
+    is the bottleneck; its dense moments stay host-replicated alongside.
+    This also keeps the 1-row optax stub at the table path placeable (the
+    row-shard rule cannot apply to a 1-row array).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rules = param_sharding_rules(state.params, mesh)
     rep = NamedSharding(mesh, P())
+    if isinstance(state.opt_state, tuple) and len(state.opt_state) == 2:
+        from structured_alignment_vqa_tpu.parallel.sparse_table import (
+            TABLE_PATH,
+            TableOpt,
+        )
+
+        if isinstance(state.opt_state[1], TableOpt):
+            rules = _tree_set(rules, TABLE_PATH, rep)
 
     def put(node):
         if _same_structure(node, state.params):
