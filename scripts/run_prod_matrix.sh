@@ -19,8 +19,10 @@ for spec in "dense:" "sparse:--sparse_table --table_moments_bf16" \
             "packed:--n_pack 4 --pack_bucket 1 --sparse_table --table_moments_bf16"; do
   name=${spec%%:*}; extra=${spec#*:}
   echo "=== $name (extra: $extra) $(date -u +%H:%M:%S) ==="
+  # --log_steps 10: packed epochs have ~4x fewer steps; the matrix report
+  # times epochs from the logged step lines and needs several per epoch
   timeout 4500 python scripts/learn_probe.py --preset prod \
-    --root $ROOT/data --out $ROOT/run_$name $GEN -- $extra \
+    --root $ROOT/data --out $ROOT/run_$name $GEN -- --log_steps 10 $extra \
     > $ROOT/$name.log 2>&1
   echo "exit=$? $(date -u +%H:%M:%S)"
   GEN="--skip_gen"

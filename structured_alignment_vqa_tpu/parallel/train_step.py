@@ -64,6 +64,13 @@ def create_train_state(
             init_table_opt,
         )
 
+        if TABLE_PATH[0] not in params:
+            raise ValueError(
+                "sparse_table requires the shared GloVe table "
+                "(ModelConfig.share_glove / --share_glove): without sharing, "
+                "each encoder owns its own embedding and there is no single "
+                f"{'/'.join(TABLE_PATH)} param to segment the optimizer over"
+            )
         table = _tree_get(params, TABLE_PATH)
         stub = _tree_set(params, TABLE_PATH, _empty_like(table))
         opt_state = (tx.init(stub), init_table_opt(table, table_moments_dtype))

@@ -356,3 +356,15 @@ class TestMeshComposition:
             for a, b in shapes:
                 assert not (int(a) == v and int(b) == d), (
                     f"full-table all-gather in sparse step HLO: {line[:200]}")
+
+
+def test_sparse_table_requires_share_glove():
+    """Without share_glove each encoder owns its own table — sparse mode must
+    refuse with a clear error, not KeyError into the param tree (found live:
+    `learn_probe --preset small -- --sparse_table` crashed on 'glove')."""
+    cfg = _cfg(share_glove=False)
+    model = AttModelX3(cfg)
+    batch = synthetic_batch(cfg, batch=2, lv=3, lq=4, ls=6, seed=0)
+    with pytest.raises(ValueError, match="share_glove"):
+        create_train_state(model, jax.random.key(0), batch, adam(1e-3),
+                           sparse_table=True)
