@@ -20,9 +20,14 @@ for spec in "dense:" "sparse:--sparse_table --table_moments_bf16" \
   name=${spec%%:*}; extra=${spec#*:}
   echo "=== $name (extra: $extra) $(date -u +%H:%M:%S) ==="
   # --log_steps 10: packed epochs have ~4x fewer steps; the matrix report
-  # times epochs from the logged step lines and needs several per epoch
-  timeout 4500 python scripts/learn_probe.py --preset prod \
-    --root $ROOT/data --out $ROOT/run_$name $GEN -- --log_steps 10 $extra \
+  # times epochs from the logged step lines and needs several per epoch.
+  # 24 epochs (round-3 dense hit .605 at 24 of its 40-epoch .736 arc) keeps
+  # the three-run matrix inside one session; --cache_dir is shared so the
+  # sparse run replays dense's fingerprint-matched frozen batches and the
+  # packed run reuses the sample cache (data/batch_cache.py fingerprints).
+  timeout 4500 python scripts/learn_probe.py --preset prod --epochs 24 \
+    --root $ROOT/data --out $ROOT/run_$name $GEN -- --log_steps 10 \
+    --cache_dir $ROOT/cache $extra \
     > $ROOT/$name.log 2>&1
   echo "exit=$? $(date -u +%H:%M:%S)"
   GEN="--skip_gen"
