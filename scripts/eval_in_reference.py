@@ -60,7 +60,10 @@ OBJREL_SMALL_FLAGS = [
     "--model_v", "3", "--with_loc", "--decMask", "--with_MILNCE_loss",
     "--batch_size", "32", "--maxlen", "128", "--maxlen_q", "12",
     "--maxlen_v", "12", "--hidden_size", "64", "--hidden_size_mil", "32",
-    "--num_blocks", "3", "--num_heads", "2",
+    # 4 is the reference's floor: `AttModel_vis_grid.forward` hardcodes its
+    # stage boundaries (blocks 0-1 diag, 2-3 cross, 4+ full graph,
+    # `AttModel_x3.py:125-140`), so num_blocks<4 crashes the reference
+    "--num_blocks", "4", "--num_heads", "2",
     "--min_cnt", "50", "--topN", "2", "--bbox_bin_num", "16",
     # the reference hardcodes the 407k x 300 table (`AttModel_x3.py:36,41`),
     # so the interop run must too — the sparse-table path keeps the CPU

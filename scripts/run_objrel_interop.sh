@@ -25,7 +25,7 @@ python -m structured_alignment_vqa_tpu.train.main \
   --data_dir_azure $ROOT --output_dir $OUT --platform cpu \
   --model_v 3 --with_loc --decMask --with_MILNCE_loss \
   --batch_size 32 --maxlen 128 --maxlen_q 12 --maxlen_v 12 \
-  --hidden_size 64 --hidden_size_mil 32 --num_blocks 3 --num_heads 2 \
+  --hidden_size 64 --hidden_size_mil 32 --num_blocks 4 --num_heads 2 \
   --min_cnt 50 --topN 2 --bbox_bin_num 16 \
   --vocab_size 407000 --glove_dim 300 --share_glove --dropout_rate 0.2 \
   --num_workers 2 --lr 1e-3 --num_epochs 2 --eval_every 2 \
